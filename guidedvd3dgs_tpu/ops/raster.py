@@ -1,0 +1,74 @@
+"""Public rasterization API (L1→L2 boundary).
+
+`rasterize(...)` is the TPU-native equivalent of the reference
+`GaussianRasterizer.__call__` (reference:
+diff_gaussian_rasterization/__init__.py:192-225): it returns color, depth,
+alpha, radii. Backend selection:
+
+  - "dense": pure-JAX O(N*P) oracle (tiny scenes, tests, autodiff-by-XLA)
+  - "tiles": Pallas tile kernel with custom VJP (production path)
+  - "auto": tiles when available/large, dense otherwise
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from guidedvd3dgs_tpu.ops.projection import RasterCamera
+from guidedvd3dgs_tpu.ops.raster_dense import RenderOutput, rasterize_dense
+
+_AUTO_DENSE_MAX = 4096
+
+
+def rasterize(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotations: jnp.ndarray,
+    opacities: jnp.ndarray,
+    shs: Optional[jnp.ndarray],
+    cam: RasterCamera,
+    bg: jnp.ndarray,
+    sh_degree: int = 3,
+    scale_modifier: float = 1.0,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    means2d_offset: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
+) -> RenderOutput:
+    if backend == "auto":
+        backend = "dense" if means3d.shape[0] <= _AUTO_DENSE_MAX else "tiles"
+    if backend == "dense":
+        return rasterize_dense(
+            means3d,
+            scales,
+            rotations,
+            opacities,
+            shs,
+            cam,
+            bg,
+            sh_degree=sh_degree,
+            scale_modifier=scale_modifier,
+            colors_precomp=colors_precomp,
+            cov3d_precomp=cov3d_precomp,
+            means2d_offset=means2d_offset,
+        )
+    elif backend == "tiles":
+        from guidedvd3dgs_tpu.ops.raster_tiles import rasterize_tiles
+
+        return rasterize_tiles(
+            means3d,
+            scales,
+            rotations,
+            opacities,
+            shs,
+            cam,
+            bg,
+            sh_degree=sh_degree,
+            scale_modifier=scale_modifier,
+            colors_precomp=colors_precomp,
+            cov3d_precomp=cov3d_precomp,
+            means2d_offset=means2d_offset,
+        )
+    raise ValueError(f"unknown raster backend: {backend}")

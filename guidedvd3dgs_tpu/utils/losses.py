@@ -1,0 +1,119 @@
+"""Image losses (L0): L1, L2, window-SSIM, PSNR.
+
+Numerics mirror the reference (reference: utils/loss_utils.py,
+utils/image_utils.py). Image layout is channels-first (C, H, W) to match the
+reference's tensors; all functions also accept a leading batch dim.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(x: jnp.ndarray, gt: jnp.ndarray, return_map: bool = False):
+    m = jnp.abs(x - gt)
+    return m if return_map else m.mean()
+
+
+def l1_loss_mask(x: jnp.ndarray, gt: jnp.ndarray, mask=None):
+    if mask is None:
+        return l1_loss(x, gt)
+    return jnp.abs((x - gt) * mask).sum() / mask.sum()
+
+
+def l2_loss(x: jnp.ndarray, gt: jnp.ndarray, return_map: bool = False):
+    m = (x - gt) ** 2
+    return m if return_map else m.mean()
+
+
+def mse(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    return ((img1 - img2) ** 2).reshape(img1.shape[0], -1).mean(1, keepdims=True)
+
+
+def psnr(img1: jnp.ndarray, img2: jnp.ndarray, mask=None) -> jnp.ndarray:
+    """PSNR matching reference utils/image_utils.py:17-23 (per-batch-item,
+    optional binary mask)."""
+    if img1.ndim == 3:
+        img1, img2 = img1[None], img2[None]
+        if mask is not None:
+            mask = mask[None]
+    if mask is None:
+        m = mse(img1, img2)
+    else:
+        m = (((img1 - img2) * mask) ** 2).reshape(img1.shape[0], -1).sum(1, keepdims=True) / (
+            3.0 * mask.sum()
+        )
+    return 20 * jnp.log10(1.0 / jnp.sqrt(m))
+
+
+@lru_cache(maxsize=8)
+def _ssim_window(window_size: int, sigma: float = 1.5) -> np.ndarray:
+    g = np.array(
+        [np.exp(-((x - window_size // 2) ** 2) / (2 * sigma**2)) for x in range(window_size)]
+    )
+    g = g / g.sum()
+    w2d = np.outer(g, g).astype(np.float32)
+    return w2d
+
+
+def _depthwise_filter(img: jnp.ndarray, window: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Depthwise 2D conv on (N, C, H, W) with same-size zero padding, matching
+    torch F.conv2d(groups=C) in the reference SSIM."""
+    c = img.shape[1]
+    kernel = jnp.broadcast_to(window[None, None], (c, 1, *window.shape))
+    return jax.lax.conv_general_dilated(
+        img,
+        kernel,
+        window_strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c,
+    )
+
+
+def _ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int) -> jnp.ndarray:
+    window = jnp.asarray(_ssim_window(window_size))
+    pad = window_size // 2
+    mu1 = _depthwise_filter(img1, window, pad)
+    mu2 = _depthwise_filter(img2, window, pad)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _depthwise_filter(img1 * img1, window, pad) - mu1_sq
+    sigma2_sq = _depthwise_filter(img2 * img2, window, pad) - mu2_sq
+    sigma12 = _depthwise_filter(img1 * img2, window, pad) - mu1_mu2
+    C1, C2 = 0.01**2, 0.03**2
+    return ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
+    )
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, mask=None, window_size: int = 11):
+    """Mean window-SSIM (reference: utils/loss_utils.py:46-82). With a mask,
+    masked-out pixels of both images are filled with 1 before comparison."""
+    squeeze = img1.ndim == 3
+    if squeeze:
+        img1, img2 = img1[None], img2[None]
+        if mask is not None:
+            mask = mask[None]
+    if mask is not None:
+        img1 = img1 * mask + (1 - mask)
+        img2 = img2 * mask + (1 - mask)
+    return _ssim_map(img1, img2, window_size).mean()
+
+
+def ssim_noavg(img1: jnp.ndarray, img2: jnp.ndarray, mask=None, window_size: int = 11):
+    """Per-pixel SSIM map used by the guidance loss
+    (reference: utils/loss_utils.py:86-117)."""
+    squeeze = img1.ndim == 3
+    if squeeze:
+        img1, img2 = img1[None], img2[None]
+        if mask is not None:
+            mask = mask[None]
+    if mask is not None:
+        img1 = img1 * mask + (1 - mask)
+        img2 = img2 * mask + (1 - mask)
+    out = _ssim_map(img1, img2, window_size)
+    return out[0] if squeeze else out
