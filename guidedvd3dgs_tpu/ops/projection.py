@@ -131,12 +131,15 @@ def preprocess_gaussians(
     scale_modifier: float = 1.0,
     colors_precomp: Optional[jnp.ndarray] = None,
     cov3d_precomp: Optional[jnp.ndarray] = None,
+    active_mask: Optional[jnp.ndarray] = None,
 ) -> ProcessedGaussians:
     """Project N Gaussians to screen space (differentiable).
 
     Inputs are post-activation (scales exp'd, rotations normalized, opacities
     sigmoided) as handed to the reference rasterizer by `render()`
-    (reference: gaussian_renderer/__init__.py:93-101).
+    (reference: gaussian_renderer/__init__.py:93-101). `active_mask` excludes
+    capacity-padding rows of the fixed-size Gaussian state (TPU addition; in
+    the reference all rows are real).
     """
     ones = jnp.ones((*means3d.shape[:-1], 1), means3d.dtype)
     homog = jnp.concatenate([means3d, ones], -1)
@@ -179,6 +182,8 @@ def preprocess_gaussians(
         color = colors_precomp
 
     visible = in_front & det_ok
+    if active_mask is not None:
+        visible = visible & active_mask
     radii = jnp.where(visible, radius, 0.0).astype(jnp.int32)
     return ProcessedGaussians(
         means2d=means2d,

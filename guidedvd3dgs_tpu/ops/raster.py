@@ -35,40 +35,23 @@ def rasterize(
     colors_precomp: Optional[jnp.ndarray] = None,
     cov3d_precomp: Optional[jnp.ndarray] = None,
     means2d_offset: Optional[jnp.ndarray] = None,
+    active_mask: Optional[jnp.ndarray] = None,
     backend: str = "auto",
 ) -> RenderOutput:
+    kwargs = dict(
+        sh_degree=sh_degree,
+        scale_modifier=scale_modifier,
+        colors_precomp=colors_precomp,
+        cov3d_precomp=cov3d_precomp,
+        means2d_offset=means2d_offset,
+        active_mask=active_mask,
+    )
     if backend == "auto":
         backend = "dense" if means3d.shape[0] <= _AUTO_DENSE_MAX else "tiles"
     if backend == "dense":
-        return rasterize_dense(
-            means3d,
-            scales,
-            rotations,
-            opacities,
-            shs,
-            cam,
-            bg,
-            sh_degree=sh_degree,
-            scale_modifier=scale_modifier,
-            colors_precomp=colors_precomp,
-            cov3d_precomp=cov3d_precomp,
-            means2d_offset=means2d_offset,
-        )
+        return rasterize_dense(means3d, scales, rotations, opacities, shs, cam, bg, **kwargs)
     elif backend == "tiles":
         from guidedvd3dgs_tpu.ops.raster_tiles import rasterize_tiles
 
-        return rasterize_tiles(
-            means3d,
-            scales,
-            rotations,
-            opacities,
-            shs,
-            cam,
-            bg,
-            sh_degree=sh_degree,
-            scale_modifier=scale_modifier,
-            colors_precomp=colors_precomp,
-            cov3d_precomp=cov3d_precomp,
-            means2d_offset=means2d_offset,
-        )
+        return rasterize_tiles(means3d, scales, rotations, opacities, shs, cam, bg, **kwargs)
     raise ValueError(f"unknown raster backend: {backend}")

@@ -165,6 +165,7 @@ def rasterize_dense(
     colors_precomp: Optional[jnp.ndarray] = None,
     cov3d_precomp: Optional[jnp.ndarray] = None,
     means2d_offset: Optional[jnp.ndarray] = None,
+    active_mask: Optional[jnp.ndarray] = None,
     chunk: int = 256,
 ) -> RenderOutput:
     """Full dense rasterization: preprocess + blend.
@@ -186,6 +187,7 @@ def rasterize_dense(
         scale_modifier=scale_modifier,
         colors_precomp=colors_precomp,
         cov3d_precomp=cov3d_precomp,
+        active_mask=active_mask,
     )
     if means2d_offset is not None:
         scale = jnp.array([0.5 * cam.width, 0.5 * cam.height], proc.means2d.dtype)
