@@ -1,0 +1,338 @@
+"""Dataset readers: COLMAP scenes with fixed sparse-view splits (L3).
+
+Role of reference scene/dataset_readers.py. Supported datasets: Replica
+(6/9/3-view fixed splits), ScanNet++ (6-view), re10k (json split), Blender
+transforms. The hardcoded per-scene train indices and the test-view synthesis
+rules replicate the reference exactly (reference:
+scene/dataset_readers.py:339-470): Replica test views are every 10th frame
+within +/-50 of each train view; ScanNet++ test views are every 6th frame in
+the covered range (+/-10) minus the train frames.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+
+from guidedvd3dgs_tpu.scene import colmap
+from guidedvd3dgs_tpu.scene.ply import fetch_ply, store_ply
+from guidedvd3dgs_tpu.utils.graphics import BasicPointCloud, focal2fov, fov2focal, getWorld2View2
+
+
+class CameraInfo(NamedTuple):
+    uid: int
+    R: np.ndarray
+    T: np.ndarray
+    FovY: float
+    FovX: float
+    image_path: str
+    image_name: str
+    width: int
+    height: int
+    fid: int = 0
+    bounds: np.ndarray = None
+    projected_image_path: Optional[str] = None
+    projected_mask_path: Optional[str] = None
+
+
+class SceneInfo(NamedTuple):
+    point_cloud: BasicPointCloud
+    train_indices: list
+    train_cameras: List[CameraInfo]
+    test_cameras: List[CameraInfo]
+    all_cameras: List[CameraInfo]
+    project_cameras: Optional[List[CameraInfo]]
+    nerf_normalization: dict
+    ply_path: str
+
+
+# fixed sparse-view train splits (reference: scene/dataset_readers.py:343-398)
+REPLICA_TRAIN_IDX_6V = {
+    "office2_seq2": [244, 291, 436, 607, 760, 831],
+    "office3_seq1": [22, 98, 315, 504, 581, 731],
+    "office4_seq2": [233, 305, 440, 555, 759, 806],
+    "room0_seq2": [5, 80, 187, 392, 497, 658],
+    "room1_seq1": [17, 39, 125, 349, 449, 840],
+    "room2_seq1": [61, 178, 323, 485, 526, 758],
+}
+REPLICA_TRAIN_IDX_9V = {
+    "office2_seq2": [159, 244, 291, 436, 510, 607, 684, 760, 831],
+    "office3_seq1": [22, 98, 174, 264, 315, 504, 581, 633, 731],
+    "office4_seq2": [49, 171, 233, 305, 440, 555, 655, 759, 806],
+    "room0_seq2": [5, 80, 187, 296, 392, 497, 548, 658, 723],
+    "room1_seq1": [17, 39, 125, 251, 349, 449, 542, 656, 840],
+    "room2_seq1": [61, 178, 270, 323, 400, 485, 526, 601, 758],
+}
+REPLICA_TRAIN_IDX_3V = {
+    "office2_seq2": [244, 291, 436],
+    "office3_seq1": [22, 98, 315],
+    "office4_seq2": [233, 305, 440],
+    "room0_seq2": [392, 497, 658],
+    "room1_seq1": [17, 39, 125],
+    "room2_seq1": [323, 485, 526],
+}
+SCANNETPP_TRAIN_ID = {
+    "8a20d62ac0": [9, 85, 134, 172, 329, 380],
+    "94ee15e8ba": [3057, 3107, 3177, 3184, 3274, 3302],
+    "a29cccc784": [848, 865, 928, 947, 1006, 1040],
+    "7831862f02": [3872, 3905, 3954, 3960, 3999, 4051],
+}
+
+
+def extract_number(s: str) -> int:
+    m = re.findall(r"\d+", os.path.basename(str(s)))
+    return int(m[-1]) if m else 0
+
+
+def getNerfppNorm(cam_info: List[CameraInfo]) -> dict:
+    """Scene radius/translate from camera centers (reference:
+    scene/dataset_readers.py:74-95)."""
+    centers = []
+    for cam in cam_info:
+        w2c = getWorld2View2(cam.R, cam.T)
+        c2w = np.linalg.inv(w2c)
+        centers.append(c2w[:3, 3:4])
+    centers = np.hstack(centers)
+    avg = centers.mean(axis=1, keepdims=True)
+    diagonal = np.linalg.norm(centers - avg, axis=0).max()
+    return {"translate": -avg.flatten(), "radius": diagonal * 1.1}
+
+
+def _fov_from_intrinsics(intr: colmap.ColmapCamera):
+    if intr.model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL"):
+        fx = fy = intr.params[0]
+    elif intr.model == "PINHOLE":
+        fx, fy = intr.params[0], intr.params[1]
+    else:
+        raise ValueError(f"unsupported COLMAP camera model {intr.model}")
+    return focal2fov(fx, intr.width), focal2fov(fy, intr.height)
+
+
+def _read_colmap_cameras(path: str, images_dir: str, projected_dir: Optional[str] = None):
+    sparse = os.path.join(path, "sparse", "0")
+    try:
+        extr = colmap.read_images_binary(os.path.join(sparse, "images.bin"))
+        intr = colmap.read_cameras_binary(os.path.join(sparse, "cameras.bin"))
+    except FileNotFoundError:
+        extr = colmap.read_images_text(os.path.join(sparse, "images.txt"))
+        intr = colmap.read_cameras_text(os.path.join(sparse, "cameras.txt"))
+
+    rgb_mapping = [
+        f
+        for f in sorted(glob.glob(os.path.join(images_dir, "*")), key=extract_number)
+        if f.lower().endswith((".jpg", ".png", ".jpeg"))
+    ]
+
+    infos = []
+    keys = sorted(extr.keys(), key=lambda k: extract_number(extr[k].name))
+    for idx, key in enumerate(keys):
+        im = extr[key]
+        cam = intr[im.camera_id]
+        fovx, fovy = _fov_from_intrinsics(cam)
+        R = colmap.qvec2rotmat(im.qvec).T
+        T = np.array(im.tvec)
+        image_path = rgb_mapping[idx] if idx < len(rgb_mapping) else os.path.join(images_dir, im.name)
+        name = os.path.splitext(os.path.basename(image_path))[0]
+        proj_img = proj_mask = None
+        if projected_dir is not None:
+            cand = os.path.join(projected_dir, f"{name}.png")
+            cand_mask = os.path.join(projected_dir, f"{name}_mask.npy")
+            if os.path.exists(cand):
+                proj_img = cand
+            if os.path.exists(cand_mask):
+                proj_mask = cand_mask
+        infos.append(
+            CameraInfo(
+                uid=cam.id,
+                R=R,
+                T=T,
+                FovY=fovy,
+                FovX=fovx,
+                image_path=image_path,
+                image_name=name,
+                width=cam.width,
+                height=cam.height,
+                bounds=np.array([1.0, 10.0]),
+                projected_image_path=proj_img,
+                projected_mask_path=proj_mask,
+            )
+        )
+    return infos, rgb_mapping
+
+
+def replica_scene_key(path: str) -> str:
+    """'.../office_3/Sequence_1' -> 'office3_seq1'
+    (reference: scene/dataset_readers.py:264-270)."""
+    parts = path.rstrip("/").split("/")
+    scene, seq = parts[-2], parts[-1]
+    base, sid = scene.split("_")[0], scene.split("_")[1]
+    seq_id = seq.split("_")[1]
+    return f"{base}{sid}_seq{seq_id}"
+
+
+def replica_test_indices(train_idx: List[int], num_cams: int) -> List[int]:
+    """Every 10th frame within +/-50 of each train view
+    (reference: scene/dataset_readers.py:408-416)."""
+    test_idx = []
+    for idx in train_idx:
+        left = list(range(max(0, idx - 50), idx))
+        right = list(range(idx + 1, min(idx + 50, num_cams)))
+        test_idx.extend((left + right)[::10])
+    return sorted(set(test_idx))
+
+
+def scannetpp_test_indices(train_indices: List[int], num_cams: int, gap: int = 6) -> List[int]:
+    """Every `gap`th frame in the covered range, excluding train frames
+    (reference: scene/dataset_readers.py:452-465)."""
+    extend = 10
+    start = max(train_indices[0] - extend, 0)
+    end = min(train_indices[-1] + extend + 1, num_cams)
+    test = list(range(start, end))[::gap]
+    return [i for i in test if i not in train_indices]
+
+
+def read_colmap_scene(
+    path: str,
+    images: str,
+    dataset: str,
+    eval: bool = True,
+    n_views: int = 6,
+    ply_path: str = "",
+    replica_use_project_cam: bool = False,
+    projected_dir: Optional[str] = None,
+) -> SceneInfo:
+    """Main COLMAP scene entry (role of reference
+    scene/dataset_readers.py:260-511). `ply_path` must point to the
+    precomputed DUSt3R points3D.ply (the reference hardcodes
+    ./dust3r_results/... paths; we take it from config, falling back to the
+    scene's own sparse points)."""
+    reading_dir = images or "images"
+    cam_infos, rgb_mapping = _read_colmap_cameras(
+        path, os.path.join(path, reading_dir), projected_dir
+    )
+
+    dataset_l = dataset.lower()
+    project_cam_infos = None
+    if eval:
+        if dataset_l == "replica":
+            key = replica_scene_key(path)
+            table = {6: REPLICA_TRAIN_IDX_6V, 9: REPLICA_TRAIN_IDX_9V, 3: REPLICA_TRAIN_IDX_3V}[
+                n_views
+            ]
+            train_idx = table[key]
+            # test views for 6/9v both derive from the 6v anchors
+            anchors = REPLICA_TRAIN_IDX_6V[key] if n_views in (6, 9) else train_idx
+            test_idx = replica_test_indices(anchors, len(cam_infos))
+            if replica_use_project_cam:
+                project_cam_infos = cam_infos[::6]
+        elif dataset_l == "scannetpp":
+            scene_id = path.rstrip("/").split("/")[-1]
+            train_id = sorted(SCANNETPP_TRAIN_ID[scene_id])
+            suffixes = [extract_number(p) for p in rgb_mapping]
+            train_idx = [suffixes.index(t) for t in train_id]
+            test_idx = scannetpp_test_indices(train_idx, len(cam_infos))
+        elif dataset_l == "re10k":
+            with open(os.path.join(path, f"train_test_split_{n_views}.json")) as f:
+                splits = json.load(f)
+            train_idx, test_idx = splits["train_ids"], splits["test_ids"]
+        else:
+            raise NotImplementedError(dataset)
+        train_cams = [c for i, c in enumerate(cam_infos) if i in set(train_idx)]
+        test_cams = [c for i, c in enumerate(cam_infos) if i in set(test_idx)]
+    else:
+        train_idx = list(range(len(cam_infos)))
+        train_cams, test_cams = cam_infos, []
+
+    train_cams = [c._replace(fid=i) for i, c in enumerate(train_cams)]
+
+    if not ply_path:
+        ply_path = os.path.join(path, "sparse", "0", "points3D.ply")
+        if not os.path.exists(ply_path):
+            # build from COLMAP points3D if present
+            sparse = os.path.join(path, "sparse", "0")
+            for reader, fname in (
+                (colmap.read_points3D_binary, "points3D.bin"),
+                (colmap.read_points3D_text, "points3D.txt"),
+            ):
+                p = os.path.join(sparse, fname)
+                if os.path.exists(p):
+                    xyz, rgb, _ = reader(p)
+                    store_ply(ply_path, xyz, rgb)
+                    break
+    pcd = fetch_ply(ply_path)
+
+    return SceneInfo(
+        point_cloud=pcd,
+        train_indices=list(train_idx),
+        train_cameras=train_cams,
+        test_cameras=test_cams,
+        all_cameras=cam_infos,
+        project_cameras=project_cam_infos,
+        nerf_normalization=getNerfppNorm(train_cams),
+        ply_path=ply_path,
+    )
+
+
+def read_blender_scene(path: str, white_background: bool, eval: bool, extension: str = ".png"):
+    """NeRF-synthetic transforms reader (role of reference
+    scene/dataset_readers.py:514-614)."""
+    from PIL import Image
+
+    def read_split(transformsfile):
+        infos = []
+        with open(os.path.join(path, transformsfile)) as f:
+            contents = json.load(f)
+        fovx = contents["camera_angle_x"]
+        for idx, frame in enumerate(contents["frames"]):
+            image_path = os.path.join(path, frame["file_path"] + extension)
+            c2w = np.array(frame["transform_matrix"])
+            # blender -> colmap: flip y/z axes
+            c2w[:3, 1:3] *= -1
+            w2c = np.linalg.inv(c2w)
+            R = w2c[:3, :3].T
+            T = w2c[:3, 3]
+            img = Image.open(image_path)
+            width, height = img.size
+            fovy = focal2fov(fov2focal(fovx, width), height)
+            infos.append(
+                CameraInfo(
+                    uid=idx,
+                    R=R,
+                    T=T,
+                    FovY=fovy,
+                    FovX=fovx,
+                    image_path=image_path,
+                    image_name=os.path.basename(frame["file_path"]),
+                    width=width,
+                    height=height,
+                    fid=idx,
+                )
+            )
+        return infos
+
+    train_cams = read_split("transforms_train.json")
+    test_cams = read_split("transforms_test.json") if eval else []
+
+    ply_path = os.path.join(path, "points3d.ply")
+    if not os.path.exists(ply_path):
+        n = 100_000
+        rng = np.random.default_rng(0)
+        xyz = rng.random((n, 3)) * 2.6 - 1.3
+        store_ply(ply_path, xyz, rng.random((n, 3)) * 255)
+    pcd = fetch_ply(ply_path)
+
+    return SceneInfo(
+        point_cloud=pcd,
+        train_indices=list(range(len(train_cams))),
+        train_cameras=train_cams,
+        test_cameras=test_cams,
+        all_cameras=train_cams + test_cams,
+        project_cameras=None,
+        nerf_normalization=getNerfppNorm(train_cams),
+        ply_path=ply_path,
+    )

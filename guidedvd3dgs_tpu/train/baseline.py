@@ -1,0 +1,274 @@
+"""Baseline 3DGS training loop (L6).
+
+Role of reference train_baseline.py:35-126 with the same schedule semantics:
+  * SH degree +1 every 500 iterations (up to max)
+  * random camera epochs without replacement
+  * loss = (1-lambda)*L1 + lambda*(1-SSIM)
+  * densify stats every iter while iter < densify_until; densify+prune every
+    densification_interval after densify_from (size_threshold disabled)
+  * Adam step skipped on densify iterations (the reference's optimizer sees
+    freshly-rebuilt tensors with no grads there)
+  * xyz LR scheduled AFTER the step with the current iteration index
+  * opacity reset every opacity_reset_interval
+
+TPU design: one jitted, donated train step (render + loss + grads + masked
+Adam); densify/prune/reset are separate jitted ops invoked on schedule from
+the host loop (SURVEY.md section 7.1.4).
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guidedvd3dgs_tpu.models import gaussians as G
+from guidedvd3dgs_tpu.models.render import render_gaussians
+from guidedvd3dgs_tpu.ops.projection import RasterCamera
+from guidedvd3dgs_tpu.utils.general import get_expon_lr_func
+from guidedvd3dgs_tpu.utils.losses import l1_loss, psnr, ssim
+
+
+@dataclass
+class StepStats:
+    loss: float
+    l1: float
+    psnr: float
+    num_active: int
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sh_degree",
+        "use_confidence",
+        "backend",
+        "lambda_dssim",
+        "apply_adam",
+        "update_stats",
+    ),
+    donate_argnames=("state",),
+)
+def train_step(
+    state: G.GaussianState,
+    cam: RasterCamera,
+    gt_image: jnp.ndarray,
+    bg: jnp.ndarray,
+    lrs: G.LearningRates,
+    sh_degree: int,
+    lambda_dssim: float,
+    use_confidence: bool = False,
+    backend: str = "auto",
+    apply_adam: bool = True,
+    update_stats: bool = True,
+):
+    """One baseline optimization step. Returns (state, metrics)."""
+    offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
+
+    def loss_fn(params, offset):
+        r = render_gaussians(
+            params,
+            state.active,
+            state.confidence,
+            cam,
+            bg,
+            sh_degree,
+            means2d_offset=offset,
+            use_confidence=use_confidence,
+            backend=backend,
+        )
+        ll1 = l1_loss(r.color, gt_image)
+        loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(r.color, gt_image))
+        return loss, (r, ll1)
+
+    (loss, (r, ll1)), (gparams, goffset) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(state.params, offset0)
+
+    if update_stats:
+        state = G.update_max_radii(state, r.radii, r.visibility_filter)
+        state = G.add_densification_stats(state, goffset, r.visibility_filter)
+    if apply_adam:
+        state = G.adam_step(state, gparams, lrs)
+
+    metrics = {
+        "loss": loss,
+        "l1": ll1,
+        "psnr": psnr(r.color, gt_image)[0, 0],
+    }
+    return state, metrics
+
+
+@partial(jax.jit, static_argnames=("sh_degree", "backend"))
+def eval_render(
+    state: G.GaussianState,
+    cam: RasterCamera,
+    bg: jnp.ndarray,
+    sh_degree: int,
+    backend: str = "auto",
+):
+    return render_gaussians(
+        state.params, state.active, state.confidence, cam, bg, sh_degree, backend=backend
+    )
+
+
+def make_lr_schedule(opt, spatial_lr_scale: float):
+    return get_expon_lr_func(
+        lr_init=opt.position_lr_init * spatial_lr_scale,
+        lr_final=opt.position_lr_final * spatial_lr_scale,
+        lr_delay_mult=opt.position_lr_delay_mult,
+        max_steps=opt.position_lr_max_steps,
+    )
+
+
+def lrs_for(opt, xyz_lr: float) -> G.LearningRates:
+    return G.LearningRates(
+        xyz=jnp.float32(xyz_lr),
+        f_dc=jnp.float32(opt.feature_lr),
+        f_rest=jnp.float32(opt.feature_lr / 20.0),
+        opacity=jnp.float32(opt.opacity_lr),
+        scaling=jnp.float32(opt.scaling_lr),
+        rotation=jnp.float32(opt.rotation_lr),
+    )
+
+
+def densify_cfg(opt, extent: float, iteration: int, max_screen_size: float = 0.0):
+    return G.DensifyConfig(
+        grad_threshold=opt.densify_grad_threshold,
+        min_opacity=opt.prune_threshold,
+        extent=float(extent),
+        max_screen_size=float(max_screen_size or 0.0),
+        percent_dense=opt.percent_dense,
+        dist_thres=opt.dist_thres,
+        prune_enabled=iteration > opt.prune_from_iter,
+        proximity_enabled=iteration < 2000,
+    )
+
+
+densify_and_prune_jit = jax.jit(G.densify_and_prune, static_argnames=("cfg",))
+reset_opacity_jit = jax.jit(G.reset_opacity, donate_argnums=0)
+
+
+class BaselineTrainer:
+    """Host-side schedule around the jitted step (reference training()
+    semantics, train_baseline.py:35-126)."""
+
+    def __init__(self, scene, state, opt, pipe, model_params, background=None):
+        self.scene = scene
+        self.state = state
+        self.opt = opt
+        self.pipe = pipe
+        self.model_params = model_params
+        self.max_sh_degree = model_params.sh_degree
+        self.active_sh_degree = 0
+        bg = [1.0, 1.0, 1.0] if model_params.white_background else [0.0, 0.0, 0.0]
+        self.bg = jnp.asarray(background if background is not None else bg, jnp.float32)
+        self.xyz_sched = make_lr_schedule(opt, scene.cameras_extent)
+        self.xyz_lr = self.xyz_sched(0)
+        self.viewpoint_stack = []
+        self.rng = random.Random(getattr(opt, "seed", 1))
+        self.backend = getattr(pipe, "raster_backend", "auto")
+        self.ema_loss = 0.0
+
+    def pick_camera(self):
+        if not self.viewpoint_stack:
+            self.viewpoint_stack = list(self.scene.getTrainCameras())
+        return self.viewpoint_stack.pop(self.rng.randint(0, len(self.viewpoint_stack) - 1))
+
+    def maybe_grow(self):
+        n = int(self.state.num_active())
+        cap = self.state.capacity
+        if n > 0.9 * cap:
+            self.state = G.grow_capacity(self.state, cap * 2)
+
+    def step(self, iteration: int) -> StepStats:
+        opt = self.opt
+        if iteration % 500 == 0 and self.active_sh_degree < self.max_sh_degree:
+            self.active_sh_degree += 1
+
+        cam = self.pick_camera()
+        rc = cam.raster_camera()
+        gt = jnp.asarray(cam.image)
+
+        do_densify = (
+            iteration < opt.densify_until_iter
+            and iteration > opt.densify_from_iter
+            and iteration % opt.densification_interval == 0
+        )
+        apply_adam = (iteration < opt.iterations) and not do_densify
+        update_stats = iteration < opt.densify_until_iter
+
+        self.state, metrics = train_step(
+            self.state,
+            rc,
+            gt,
+            self.bg,
+            lrs_for(opt, self.xyz_lr),
+            sh_degree=self.active_sh_degree,
+            lambda_dssim=opt.lambda_dssim,
+            use_confidence=getattr(self.pipe, "use_confidence", False),
+            backend=self.backend,
+            apply_adam=apply_adam,
+            update_stats=update_stats,
+        )
+
+        if do_densify:
+            cfg = densify_cfg(opt, self.scene.cameras_extent, iteration)
+            self.state = densify_and_prune_jit(
+                self.state, jax.random.key(iteration), cfg
+            )
+            self.maybe_grow()
+
+        self.xyz_lr = self.xyz_sched(iteration)
+
+        if iteration % opt.opacity_reset_interval == 0:
+            self.state = reset_opacity_jit(self.state)
+
+        loss = float(metrics["loss"])
+        self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+        return StepStats(
+            loss=loss,
+            l1=float(metrics["l1"]),
+            psnr=float(metrics["psnr"]),
+            num_active=int(self.state.num_active()),
+        )
+
+    def evaluate(self, cameras, max_cams: Optional[int] = None):
+        """PSNR over a camera list (role of reference training_report,
+        train_baseline.py:153-197)."""
+        psnrs, l1s = [], []
+        for cam in cameras[: max_cams or len(cameras)]:
+            r = eval_render(
+                self.state, cam.raster_camera(), self.bg, self.active_sh_degree,
+                backend=self.backend,
+            )
+            img = jnp.clip(r.color, 0.0, 1.0)
+            gt = jnp.asarray(cam.image)
+            psnrs.append(float(psnr(img, gt)[0, 0]))
+            l1s.append(float(l1_loss(img, gt)))
+        return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))} if psnrs else {}
+
+    def train(self, iterations=None, log_every=100, test_iterations=(), saving_iterations=()):
+        iterations = iterations or self.opt.iterations
+        t0 = time.time()
+        for it in range(1, iterations + 1):
+            stats = self.step(it)
+            if log_every and it % log_every == 0:
+                rate = it / (time.time() - t0)
+                print(
+                    f"[{it}/{iterations}] loss={self.ema_loss:.5f} psnr={stats.psnr:.2f} "
+                    f"n={stats.num_active} {rate:.1f} it/s"
+                )
+            if it in test_iterations:
+                m = self.evaluate(self.scene.getTestCameras())
+                if m:
+                    print(f"[ITER {it}] test psnr {m['psnr']:.3f} l1 {m['l1']:.4f}")
+            if it in saving_iterations:
+                self.scene.save(it, self.state)
+        return self.state
