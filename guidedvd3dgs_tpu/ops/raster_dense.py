@@ -51,23 +51,50 @@ def _chunk_alphas(
     opacities: jnp.ndarray,  # (K,)
     active: jnp.ndarray,  # (K,) bool
     pix: jnp.ndarray,  # (P, 2)
+    radii: jnp.ndarray,  # (K,)
+    grid_wh: tuple,  # (grid_x, grid_y) in tiles
 ) -> jnp.ndarray:
+    # tile-coverage mask: a Gaussian only touches pixels whose 16x16 tile
+    # overlaps its radius rect, exactly like the CUDA binning
+    # (reference: auxiliary.h getRect + renderCUDA tile ranges)
+    from guidedvd3dgs_tpu.ops.tiling import TILE
+
+    gx, gy = grid_wh
+    r = radii.astype(means2d.dtype)
+    rminx = jnp.clip(((means2d[:, 0] - r) / TILE).astype(jnp.int32), 0, gx)
+    rminy = jnp.clip(((means2d[:, 1] - r) / TILE).astype(jnp.int32), 0, gy)
+    rmaxx = jnp.clip(((means2d[:, 0] + r + TILE - 1) / TILE).astype(jnp.int32), 0, gx)
+    rmaxy = jnp.clip(((means2d[:, 1] + r + TILE - 1) / TILE).astype(jnp.int32), 0, gy)
+    ptx = (pix[:, 0] / TILE).astype(jnp.int32)
+    pty = (pix[:, 1] / TILE).astype(jnp.int32)
+    in_rect = (
+        (ptx[None, :] >= rminx[:, None])
+        & (ptx[None, :] < rmaxx[:, None])
+        & (pty[None, :] >= rminy[:, None])
+        & (pty[None, :] < rmaxy[:, None])
+    )
+
     d = means2d[:, None, :] - pix[None, :, :]  # (K, P, 2)
     dx, dy = d[..., 0], d[..., 1]
     a, b, c = conics[:, 0:1], conics[:, 1:2], conics[:, 2:3]
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-    alpha = jnp.minimum(ALPHA_MAX, opacities[:, None] * jnp.exp(power))
-    alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_EPS) & active[:, None], alpha, 0.0)
+    araw = opacities[:, None] * jnp.exp(power)
+    # 0.99 clamp with pass-through gradient, matching the CUDA backward which
+    # differentiates as if unclamped (reference: backward.cu dL_dG path)
+    alpha = araw - jax.lax.stop_gradient(jnp.maximum(araw - ALPHA_MAX, 0.0))
+    alpha = jnp.where(
+        (power <= 0.0) & (araw >= ALPHA_EPS) & active[:, None] & in_rect, alpha, 0.0
+    )
     return alpha  # (K, P)
 
 
-def blend_chunk(carry, chunk_vals, pix):
+def blend_chunk(carry, chunk_vals, pix, grid_wh):
     """One scan step: composite a depth-ordered chunk of Gaussians onto all
     pixels, honoring the sequential termination rule of the CUDA kernel."""
     T_in, done_in, acc_c, acc_d, acc_a = carry
-    means2d, conics, opacities, colors, depths, active = chunk_vals
+    means2d, conics, opacities, colors, depths, active, radii = chunk_vals
 
-    alpha = _chunk_alphas(means2d, conics, opacities, active, pix)  # (K, P)
+    alpha = _chunk_alphas(means2d, conics, opacities, active, pix, radii, grid_wh)
     one_minus = 1.0 - alpha
     # exclusive cumulative transmittance within the chunk
     log_om = jnp.log(jnp.maximum(one_minus, 1e-12))
@@ -117,6 +144,7 @@ def rasterize_dense_processed(
     colors = proc.colors[order]
     depths = proc.depths[order]
     act = active[order]
+    radii = proc.radii[order]
 
     pad = (-n) % chunk
     if pad:
@@ -126,12 +154,15 @@ def rasterize_dense_processed(
         colors = jnp.pad(colors, ((0, pad), (0, 0)))
         depths = jnp.pad(depths, (0, pad))
         act = jnp.pad(act, (0, pad))
+        radii = jnp.pad(radii, (0, pad))
     num_chunks = (n + pad) // chunk
 
     def reshape(x):
         return x.reshape(num_chunks, chunk, *x.shape[1:])
 
-    chunks = tuple(reshape(x) for x in (means2d, conics, opac, colors, depths, act))
+    chunks = tuple(
+        reshape(x) for x in (means2d, conics, opac, colors, depths, act, radii)
+    )
 
     init = (
         jnp.ones((p,), means2d.dtype),
@@ -141,8 +172,12 @@ def rasterize_dense_processed(
         jnp.zeros((p,), means2d.dtype),
     )
 
+    from guidedvd3dgs_tpu.ops.tiling import TILE
+
+    grid_wh = ((width + TILE - 1) // TILE, (height + TILE - 1) // TILE)
+
     def step(carry, vals):
-        return blend_chunk(carry, vals, pix), None
+        return blend_chunk(carry, vals, pix, grid_wh), None
 
     (T, _done, acc_c, acc_d, acc_a), _ = jax.lax.scan(step, init, chunks)
 

@@ -1,0 +1,543 @@
+"""Pallas tile rasterizer (L1) — the production TPU render path.
+
+TPU-native replacement for the reference CUDA tile rasterizer
+(reference: cuda_rasterizer/forward.cu:263-381 fwd,
+backward.cu:416-601 bwd). Architecture:
+
+  preprocess (pure JAX, ops/projection.py)
+    -> tile binning (pure JAX: scatter + lax.sort, ops/tiling.py)
+    -> Pallas FWD kernel: one grid step per 16x16 tile; per-instance data
+       streamed HBM->VMEM in 128-instance chunks; blending vectorized as
+       (CHUNK, 256)-shaped VPU math with the sequential front-to-back
+       transmittance recurrence rewritten as chunk-local cumulative products
+       (lower-triangular MXU matmuls), early-exiting when every pixel
+       saturates (T < 1e-4)
+    -> Pallas BWD kernel: same streaming structure; per-pixel suffix sums
+       S_i = U - prefix_i with U = C*dC + D*dD + A*dA reconstructed from the
+       forward outputs, so nothing per-instance is stored between passes.
+       Each instance belongs to exactly ONE tile, so per-instance gradients
+       are written race-free to contiguous slices (the CUDA version needs
+       atomics here; the TPU grid is sequential and we read-modify-write
+       only at 128-aligned chunk seams)
+    -> per-Gaussian reduction: deterministic scatter-add over instance ids
+       (replaces CUDA atomicAdd), then the preprocess VJP (plain JAX AD)
+       maps screen-space gradients back to Gaussian parameters.
+
+Blending semantics match the dense oracle (ops/raster_dense.py) bit-for-bit
+in f32: alpha clamp 0.99 (gradient passes through, as the CUDA backward
+does), contribution threshold 1/255, termination at T < 1e-4.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from guidedvd3dgs_tpu.ops import tiling
+from guidedvd3dgs_tpu.ops.projection import RasterCamera, preprocess_gaussians
+from guidedvd3dgs_tpu.ops.raster_dense import RenderOutput
+from guidedvd3dgs_tpu.ops.tiling import (
+    F_CA,
+    F_CB,
+    F_CC,
+    F_D,
+    F_MX,
+    F_MY,
+    F_OP,
+    F_R,
+    NUM_FIELDS,
+    TILE,
+)
+
+CHUNK = 128
+TILE_PIX = TILE * TILE
+ALPHA_EPS = 1.0 / 255.0
+T_EPS = 1e-4
+ALPHA_MAX = 0.99
+
+_INTERPRET = [False]  # flipped by tests on CPU
+
+
+def set_interpret(flag: bool):
+    _INTERPRET[0] = flag
+
+
+def _pixel_coords(t, gx):
+    tx = t % gx
+    ty = t // gx
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIX), 1)
+    pixx = (tx * TILE + lin % TILE).astype(jnp.float32)
+    pixy = (ty * TILE + lin // TILE).astype(jnp.float32)
+    return pixx, pixy
+
+
+def _chunk_blend_quantities(data, valid, pixx, pixy, T_in, done_in):
+    """Shared fwd/bwd per-chunk math. data: (CHUNK, NUM_FIELDS) VMEM values.
+    Returns per-instance-per-pixel arrays shaped (CHUNK, TILE_PIX)."""
+    mx = data[:, F_MX : F_MX + 1]
+    my = data[:, F_MY : F_MY + 1]
+    ca = data[:, F_CA : F_CA + 1]
+    cb = data[:, F_CB : F_CB + 1]
+    cc = data[:, F_CC : F_CC + 1]
+    op = data[:, F_OP : F_OP + 1]
+
+    dx = mx - pixx  # (CHUNK, TILE_PIX)
+    dy = my - pixy
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    G = jnp.exp(power)
+    araw = op * G
+    alpha = jnp.minimum(ALPHA_MAX, araw)
+    live = (power <= 0.0) & (araw >= ALPHA_EPS) & valid
+    alpha = jnp.where(live, alpha, 0.0)
+
+    lom = jnp.log1p(-alpha)
+    tril = jnp.tril(jnp.ones((CHUNK, CHUNK), jnp.float32))
+    cum_incl = jax.lax.dot(tril, lom, preferred_element_type=jnp.float32)
+    T_before = T_in * jnp.exp(cum_incl - lom)
+    T_after = T_before * (1.0 - alpha)
+
+    trigger = (alpha > 0.0) & (T_after < T_EPS)
+    trig_cum = jax.lax.dot(tril, trigger.astype(jnp.float32), preferred_element_type=jnp.float32)
+    done_before = done_in | ((trig_cum - trigger.astype(jnp.float32)) > 0.0)
+    include = (alpha > 0.0) & (~done_before) & (~trigger)
+
+    w = jnp.where(include, alpha * T_before, 0.0)
+    T_out = T_in * jnp.exp(jnp.sum(jnp.where(include, lom, 0.0), axis=0, keepdims=True))
+    done_out = done_in | jnp.any(trigger, axis=0, keepdims=True)
+    return dict(
+        dx=dx, dy=dy, G=G, alpha=alpha, araw=jnp.where(live, araw, 0.0),
+        include=include, w=w,
+        T_before=T_before, T_out=T_out, done_out=done_out, op=op,
+        ca=ca, cb=cb, cc=cc,
+    )
+
+
+# ----------------------------------------------------------------------------
+# forward kernel
+# ----------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    tile_start_ref,
+    tile_count_ref,
+    # inputs
+    inst_ref,  # (M, NUM_FIELDS) in ANY/HBM
+    bg_ref,  # (3, 1) SMEM
+    # outputs (VMEM blocks)
+    color_ref,  # (3, TILE, TILE)
+    depth_ref,  # (TILE, TILE)
+    alpha_ref,  # (TILE, TILE)
+    # scratch
+    chunk_vmem,  # (CHUNK, NUM_FIELDS)
+    sem,
+    *,
+    gx: int,
+):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    astart = (start // CHUNK) * CHUNK
+    nch = pl.cdiv(start + count - astart, CHUNK)
+
+    pixx, pixy = _pixel_coords(t, gx)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+
+    def cond(carry):
+        c, T, done, accC, accD, accA = carry
+        return (c < nch) & (~jnp.all(done))
+
+    def body(carry):
+        c, T, done, accC, accD, accA = carry
+        off = astart + c * CHUNK
+        cp = pltpu.make_async_copy(inst_ref.at[pl.ds(off, CHUNK), :], chunk_vmem, sem)
+        cp.start()
+        cp.wait()
+        data = chunk_vmem[:, :]
+        idx = off + col_idx
+        valid = (idx >= start) & (idx < start + count)
+
+        q = _chunk_blend_quantities(data, valid, pixx, pixy, T, done)
+        w = q["w"]
+        colors = data[:, F_R : F_R + 3]  # (CHUNK, 3)
+        depths = data[:, F_D : F_D + 1]  # (CHUNK, 1)
+        accC = accC + jax.lax.dot(colors.T, w, preferred_element_type=jnp.float32)
+        accD = accD + jax.lax.dot(depths.T, w, preferred_element_type=jnp.float32)
+        accA = accA + jnp.sum(w, axis=0, keepdims=True)
+        return (c + 1, q["T_out"], q["done_out"], accC, accD, accA)
+
+    init = (
+        jnp.int32(0),
+        jnp.ones((1, TILE_PIX), jnp.float32),
+        jnp.zeros((1, TILE_PIX), bool),
+        jnp.zeros((3, TILE_PIX), jnp.float32),
+        jnp.zeros((1, TILE_PIX), jnp.float32),
+        jnp.zeros((1, TILE_PIX), jnp.float32),
+    )
+    _, T, _, accC, accD, accA = jax.lax.while_loop(cond, body, init)
+
+    bg = jnp.stack([bg_ref[0, 0], bg_ref[1, 0], bg_ref[2, 0]]).reshape(3, 1)
+    color_ref[:] = (accC + T * bg).reshape(3, TILE, TILE)
+    depth_ref[:] = accD.reshape(TILE, TILE)
+    alpha_ref[:] = accA.reshape(TILE, TILE)
+
+
+def _run_fwd(inst_data, tile_start, tile_count, bg, gx: int, gy: int):
+    num_tiles = gx * gy
+    hp, wp = gy * TILE, gx * TILE
+    kernel = functools.partial(_fwd_kernel, gx=gx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, TILE, TILE), lambda t, *_: (0, t // gx, t % gx)),
+            pl.BlockSpec((TILE, TILE), lambda t, *_: (t // gx, t % gx)),
+            pl.BlockSpec((TILE, TILE), lambda t, *_: (t // gx, t % gx)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, NUM_FIELDS), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ],
+        interpret=_INTERPRET[0],
+    )(tile_start, tile_count, inst_data, bg.reshape(3, 1))
+
+
+# ----------------------------------------------------------------------------
+# backward kernel
+# ----------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    tile_start_ref,
+    tile_count_ref,
+    inst_ref,  # (M, NUM_FIELDS) ANY
+    C_ref,  # (3, TILE, TILE)
+    D_ref,
+    A_ref,
+    dC_ref,
+    dD_ref,
+    dA_ref,
+    grad_ref,  # (M, NUM_FIELDS) ANY output
+    chunk_vmem,
+    gchunk_vmem,
+    sem,
+    gsem,
+    *,
+    gx: int,
+):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    astart = (start // CHUNK) * CHUNK
+    nch = pl.cdiv(start + count - astart, CHUNK)
+
+    pixx, pixy = _pixel_coords(t, gx)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+
+    dC = dC_ref[:].reshape(3, TILE_PIX)
+    dD = dD_ref[:].reshape(1, TILE_PIX)
+    dA = dA_ref[:].reshape(1, TILE_PIX)
+    C = C_ref[:].reshape(3, TILE_PIX)
+    D = D_ref[:].reshape(1, TILE_PIX)
+    A = A_ref[:].reshape(1, TILE_PIX)
+    # U = sum_incl w_j u_j + T_final * (bg . dC) per pixel — recovered from
+    # the forward outputs (see module docstring)
+    U = jnp.sum(C * dC, axis=0, keepdims=True) + D * dD + A * dA
+
+    def cond(carry):
+        c, T, done, prefix = carry
+        return (c < nch) & (~jnp.all(done))
+
+    def body(carry):
+        c, T, done, prefix = carry
+        off = astart + c * CHUNK
+        cp = pltpu.make_async_copy(inst_ref.at[pl.ds(off, CHUNK), :], chunk_vmem, sem)
+        cp.start()
+        cp.wait()
+        data = chunk_vmem[:, :]
+        idx = off + col_idx
+        valid = (idx >= start) & (idx < start + count)
+
+        q = _chunk_blend_quantities(data, valid, pixx, pixy, T, done)
+        w, include, alpha, G = q["w"], q["include"], q["alpha"], q["G"]
+        dx, dy = q["dx"], q["dy"]
+        colors = data[:, F_R : F_R + 3]
+        depths = data[:, F_D : F_D + 1]
+
+        # u_i per instance-pixel: c_i . dC + d_i * dD + dA
+        u = (
+            jax.lax.dot(colors, dC, preferred_element_type=jnp.float32)
+            + depths * dD
+            + dA
+        )
+        wu = w * u
+        tril = jnp.tril(jnp.ones((CHUNK, CHUNK), jnp.float32))
+        prefix_i = prefix + jax.lax.dot(tril, wu, preferred_element_type=jnp.float32)
+        S = U - prefix_i  # suffix sum AFTER instance i (incl. bg term)
+
+        dalpha = jnp.where(
+            include, q["T_before"] * u - S / jnp.maximum(1.0 - alpha, 1e-3), 0.0
+        )
+        # alpha = op * e^power with the 0.99 clamp passed through, matching
+        # the CUDA backward (dL_dG = op * dL_dalpha regardless of clamping)
+        g_pow = dalpha * q["araw"]
+        d_op = jnp.sum(jnp.where(include, dalpha * G, 0.0), axis=1, keepdims=True)
+        d_mx = jnp.sum(-(q["ca"] * dx + q["cb"] * dy) * g_pow, axis=1, keepdims=True)
+        d_my = jnp.sum(-(q["cc"] * dy + q["cb"] * dx) * g_pow, axis=1, keepdims=True)
+        d_ca = jnp.sum(-0.5 * dx * dx * g_pow, axis=1, keepdims=True)
+        d_cb = jnp.sum(-dx * dy * g_pow, axis=1, keepdims=True)
+        d_cc = jnp.sum(-0.5 * dy * dy * g_pow, axis=1, keepdims=True)
+        d_col = jax.lax.dot(w, dC.T, preferred_element_type=jnp.float32)  # (CHUNK, 3)
+        d_d = jax.lax.dot(w, dD.T, preferred_element_type=jnp.float32)  # (CHUNK, 1)
+
+        zeros = jnp.zeros((CHUNK, NUM_FIELDS - 10), jnp.float32)
+        gout = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col, d_d, zeros], axis=1
+        )
+
+        # read-modify-write the (CHUNK, NUM_FIELDS) block: preserve columns
+        # written by earlier tiles (idx < start), zero the seam we own
+        rd = pltpu.make_async_copy(grad_ref.at[pl.ds(off, CHUNK), :], gchunk_vmem, gsem)
+        rd.start()
+        rd.wait()
+        old = gchunk_vmem[:, :]
+        merged = jnp.where(idx < start, old, 0.0) + gout
+        gchunk_vmem[:, :] = merged
+        wr = pltpu.make_async_copy(gchunk_vmem, grad_ref.at[pl.ds(off, CHUNK), :], gsem)
+        wr.start()
+        wr.wait()
+
+        return (c + 1, q["T_out"], q["done_out"], prefix + jnp.sum(wu, axis=0, keepdims=True))
+
+    init = (
+        jnp.int32(0),
+        jnp.ones((1, TILE_PIX), jnp.float32),
+        jnp.zeros((1, TILE_PIX), bool),
+        jnp.zeros((1, TILE_PIX), jnp.float32),
+    )
+    jax.lax.while_loop(cond, body, init)
+
+
+def _run_bwd(
+    inst_data, tile_start, tile_count, C, D, A, dC, dD, dA, gx: int, gy: int
+):
+    num_tiles = gx * gy
+    m = inst_data.shape[0]
+    kernel = functools.partial(_bwd_kernel, gx=gx)
+    bmap3 = lambda t, *_: (0, t // gx, t % gx)
+    bmap2 = lambda t, *_: (t // gx, t % gx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3, TILE, TILE), bmap3),
+            pl.BlockSpec((TILE, TILE), bmap2),
+            pl.BlockSpec((TILE, TILE), bmap2),
+            pl.BlockSpec((3, TILE, TILE), bmap3),
+            pl.BlockSpec((TILE, TILE), bmap2),
+            pl.BlockSpec((TILE, TILE), bmap2),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, NUM_FIELDS), jnp.float32),
+            pltpu.VMEM((CHUNK, NUM_FIELDS), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, NUM_FIELDS), jnp.float32),
+        interpret=_INTERPRET[0],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_start, tile_count, inst_data, C, D, A, dC, dD, dA)
+
+
+# ----------------------------------------------------------------------------
+# preprocess wrapper + custom VJP
+# ----------------------------------------------------------------------------
+
+
+def _preproc_screen(
+    means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
+    means2d_offset, cam, sh_degree, scale_modifier, active_mask,
+):
+    proc = preprocess_gaussians(
+        means3d, scales, rotations, opacities, shs, cam,
+        sh_degree=sh_degree, scale_modifier=scale_modifier,
+        colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
+        active_mask=active_mask,
+    )
+    means2d = proc.means2d
+    if means2d_offset is not None:
+        off_scale = jnp.array([0.5 * cam.width, 0.5 * cam.height], means2d.dtype)
+        means2d = means2d + means2d_offset * off_scale
+    return (means2d, proc.depths, proc.conics, proc.colors, proc.opacities), proc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _raster_core(
+    static_cfg,  # (sh_degree, scale_modifier, max_instances, has_sh, has_colorpre, has_cov3dpre, has_offset)
+    height,
+    width,
+    means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
+    means2d_offset, viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_mask,
+):
+    out, _ = _raster_fwd_impl(
+        static_cfg, height, width,
+        means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
+        means2d_offset, viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_mask,
+    )
+    return out
+
+
+def _raster_fwd_impl(
+    static_cfg, height, width,
+    means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
+    means2d_offset, viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_mask,
+):
+    sh_degree, scale_modifier, max_instances, *_ = static_cfg
+    cam = RasterCamera(viewmatrix, projmatrix, campos, tanfovx, tanfovy, height, width)
+    (m2d, depths, conics, colors, opacs), proc = _preproc_screen(
+        means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
+        means2d_offset, cam, sh_degree, scale_modifier, active_mask,
+    )
+    proc_screen = proc._replace(means2d=m2d)
+    binning = tiling.bin_gaussians(proc_screen, width, height, max_instances)
+    C, D, A = _run_fwd(
+        binning.inst_data, binning.tile_start, binning.tile_count, bg,
+        binning.grid_x, binning.grid_y,
+    )
+    color = C[:, :height, :width]
+    depth = D[:height, :width]
+    alpha = A[:height, :width]
+    residuals = (
+        binning, C, D, A,
+        means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
+        means2d_offset, viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_mask,
+    )
+    return (color, depth, alpha, proc.radii), residuals
+
+
+def _raster_fwd(static_cfg, height, width, *args):
+    out, res = _raster_fwd_impl(static_cfg, height, width, *args)
+    return out, res
+
+
+def _raster_bwd(static_cfg, height, width, res, cotangents):
+    sh_degree, scale_modifier, max_instances, has_sh, has_cpre, has_cov, has_off = static_cfg
+    (
+        binning, C, D, A,
+        means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
+        means2d_offset, viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_mask,
+    ) = res
+    dcolor, ddepth, dalpha, _dradii = cotangents
+
+    gy, gx = binning.grid_y, binning.grid_x
+    hp, wp = gy * TILE, gx * TILE
+    dC = jnp.zeros((3, hp, wp), jnp.float32).at[:, :height, :width].set(dcolor)
+    dD = jnp.zeros((hp, wp), jnp.float32).at[:height, :width].set(ddepth)
+    dA = jnp.zeros((hp, wp), jnp.float32).at[:height, :width].set(dalpha)
+
+    grad_inst = _run_bwd(
+        binning.inst_data, binning.tile_start, binning.tile_count,
+        C, D, A, dC, dD, dA, gx, gy,
+    )
+
+    n = means3d.shape[0]
+    ids = binning.inst_gauss  # (M,) n => padding
+    d_m2d = jnp.zeros((n, 2), jnp.float32).at[ids].add(grad_inst[:, 0:2], mode="drop")
+    d_conic = jnp.zeros((n, 3), jnp.float32).at[ids].add(grad_inst[:, 2:5], mode="drop")
+    d_opac = jnp.zeros((n,), jnp.float32).at[ids].add(grad_inst[:, F_OP], mode="drop")
+    d_color = jnp.zeros((n, 3), jnp.float32).at[ids].add(grad_inst[:, F_R : F_R + 3], mode="drop")
+    d_depth = jnp.zeros((n,), jnp.float32).at[ids].add(grad_inst[:, F_D], mode="drop")
+
+    cam = RasterCamera(viewmatrix, projmatrix, campos, tanfovx, tanfovy, height, width)
+
+    def preproc_only(md, sc, rot, op, sh, cpre, cov, off):
+        out, _ = _preproc_screen(
+            md, sc, rot, op, sh, cpre, cov, off, cam, sh_degree, scale_modifier, active_mask
+        )
+        return out
+
+    diff_args = (means3d, scales, rotations, opacities, shs, colors_precomp,
+                 cov3d_precomp, means2d_offset)
+    _, vjp_fn = jax.vjp(preproc_only, *diff_args)
+    grads = vjp_fn((d_m2d, d_depth, d_conic, d_color, d_opac))
+    (g_means3d, g_scales, g_rots, g_opac, g_shs, g_cpre, g_cov, g_off) = grads
+
+    zero_like = lambda x: None if x is None else jnp.zeros_like(x)
+    return (
+        g_means3d, g_scales, g_rots, g_opac,
+        g_shs if has_sh else None,
+        g_cpre if has_cpre else None,
+        g_cov if has_cov else None,
+        g_off if has_off else None,
+        zero_like(viewmatrix), zero_like(projmatrix), zero_like(campos),
+        jnp.zeros_like(tanfovx) if isinstance(tanfovx, jnp.ndarray) else 0.0,
+        jnp.zeros_like(tanfovy) if isinstance(tanfovy, jnp.ndarray) else 0.0,
+        zero_like(bg),
+        None,
+    )
+
+
+_raster_core.defvjp(_raster_fwd, _raster_bwd)
+
+
+def rasterize_tiles(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotations: jnp.ndarray,
+    opacities: jnp.ndarray,
+    shs: Optional[jnp.ndarray],
+    cam: RasterCamera,
+    bg: jnp.ndarray,
+    sh_degree: int = 3,
+    scale_modifier: float = 1.0,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    means2d_offset: Optional[jnp.ndarray] = None,
+    active_mask: Optional[jnp.ndarray] = None,
+    max_instances: int = 0,
+) -> RenderOutput:
+    n = means3d.shape[0]
+    if max_instances <= 0:
+        max_instances = max(8 * n, 1 << 14)
+    max_instances = -(-max_instances // CHUNK) * CHUNK
+
+    static_cfg = (
+        sh_degree,
+        float(scale_modifier),
+        int(max_instances),
+        shs is not None,
+        colors_precomp is not None,
+        cov3d_precomp is not None,
+        means2d_offset is not None,
+    )
+    color, depth, alpha, radii = _raster_core(
+        static_cfg, cam.height, cam.width,
+        means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
+        means2d_offset, cam.viewmatrix, cam.projmatrix, cam.campos,
+        cam.tanfovx, cam.tanfovy, bg, active_mask,
+    )
+    return RenderOutput(color, depth, alpha, radii, radii > 0)

@@ -1,0 +1,152 @@
+"""Tile binning for the Pallas rasterizer (L1).
+
+Replaces the reference's CUDA duplicate-and-radix-sort binning
+(reference: cuda_rasterizer/rasterizer_impl.cu:278-321) with static-shape XLA
+primitives: per-Gaussian tile rects (getRect semantics, reference:
+auxiliary.h getRect), instance expansion by chunked scatter into a
+fixed-capacity instance buffer, a two-key lexicographic `lax.sort` by
+(tile_id, depth), searchsorted tile ranges, and a gather of per-instance
+render fields into a field-major (NUM_FIELDS, M) array whose layout feeds the
+Pallas blend kernel with aligned lane-dim DMAs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from guidedvd3dgs_tpu.ops.projection import ProcessedGaussians
+
+TILE = 16  # matches reference BLOCK_X/BLOCK_Y (config.h:16-17)
+NUM_FIELDS = 16  # packed per-instance rows (10 used, padded for tiling)
+# field row indices in the packed instance array
+F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_D = range(10)
+
+
+class TileBinning(NamedTuple):
+    inst_data: jnp.ndarray  # (M, NUM_FIELDS) float32, packed render fields
+    inst_gauss: jnp.ndarray  # (M,) int32 gaussian index (N => padding)
+    tile_start: jnp.ndarray  # (num_tiles,) int32
+    tile_count: jnp.ndarray  # (num_tiles,) int32
+    num_instances: jnp.ndarray  # () int32 total real instances (pre-drop)
+    overflow: jnp.ndarray  # () int32 instances dropped by capacity
+    grid_x: int
+    grid_y: int
+
+
+def tile_rects(proc: ProcessedGaussians, width: int, height: int):
+    """Per-Gaussian tile rectangle (reference: auxiliary.h getRect)."""
+    gx = (width + TILE - 1) // TILE
+    gy = (height + TILE - 1) // TILE
+    r = proc.radii.astype(jnp.float32)
+    x, y = proc.means2d[:, 0], proc.means2d[:, 1]
+    rect_min_x = jnp.clip(((x - r) / TILE).astype(jnp.int32), 0, gx)
+    rect_min_y = jnp.clip(((y - r) / TILE).astype(jnp.int32), 0, gy)
+    rect_max_x = jnp.clip(((x + r + TILE - 1) / TILE).astype(jnp.int32), 0, gx)
+    rect_max_y = jnp.clip(((y + r + TILE - 1) / TILE).astype(jnp.int32), 0, gy)
+    w = jnp.maximum(rect_max_x - rect_min_x, 0)
+    h = jnp.maximum(rect_max_y - rect_min_y, 0)
+    count = jnp.where(proc.radii > 0, w * h, 0)
+    return rect_min_x, rect_min_y, w, h, count, gx, gy
+
+
+def bin_gaussians(
+    proc: ProcessedGaussians,
+    width: int,
+    height: int,
+    max_instances: int,
+    max_tiles_per_gaussian: int = 64,
+    scatter_chunk: int = 65536,
+) -> TileBinning:
+    n = proc.means2d.shape[0]
+    rmx, rmy, rw, rh, count, gx, gy = tile_rects(proc, width, height)
+    count = jnp.minimum(count, max_tiles_per_gaussian)
+    offsets = jnp.cumsum(count) - count  # exclusive
+    total = count.sum()
+    num_tiles = gx * gy
+
+    m = max_instances
+    key_tile = jnp.full((m,), num_tiles, jnp.int32)
+    key_depth = jnp.full((m,), jnp.inf, jnp.float32)
+    inst_gauss = jnp.full((m,), n, jnp.int32)
+
+    tcap = max_tiles_per_gaussian
+    slots = jnp.arange(tcap, dtype=jnp.int32)
+
+    nchunks = -(-n // scatter_chunk)
+    pad_n = nchunks * scatter_chunk - n
+
+    def pad1(x, fill=0):
+        return jnp.pad(x, (0, pad_n), constant_values=fill)
+
+    c_rmx = pad1(rmx).reshape(nchunks, scatter_chunk)
+    c_rmy = pad1(rmy).reshape(nchunks, scatter_chunk)
+    c_rw = pad1(rw, 1).reshape(nchunks, scatter_chunk)
+    c_cnt = pad1(count).reshape(nchunks, scatter_chunk)
+    c_off = pad1(offsets).reshape(nchunks, scatter_chunk)
+    c_depth = pad1(proc.depths, jnp.inf).reshape(nchunks, scatter_chunk)
+    c_gid = (
+        jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad_n), constant_values=n)
+        .reshape(nchunks, scatter_chunk)
+    )
+
+    def scatter_chunk_fn(carry, ch):
+        kt, kd, gi = carry
+        rmx_c, rmy_c, rw_c, cnt_c, off_c, d_c, gid_c = ch
+        # (chunk, tcap) candidate tiles in row-major rect order
+        dy = slots[None, :] // jnp.maximum(rw_c[:, None], 1)
+        dx = slots[None, :] % jnp.maximum(rw_c[:, None], 1)
+        tile_id = (rmy_c[:, None] + dy) * gx + rmx_c[:, None] + dx
+        valid = slots[None, :] < cnt_c[:, None]
+        dest = jnp.where(valid, off_c[:, None] + slots[None, :], m)
+        dest = jnp.where(dest < m, dest, m).reshape(-1)
+        kt = kt.at[dest].set(tile_id.reshape(-1).astype(jnp.int32), mode="drop")
+        kd = kd.at[dest].set(jnp.broadcast_to(d_c[:, None], dy.shape).reshape(-1), mode="drop")
+        gi = gi.at[dest].set(jnp.broadcast_to(gid_c[:, None], dy.shape).reshape(-1), mode="drop")
+        return (kt, kd, gi), None
+
+    (key_tile, key_depth, inst_gauss), _ = jax.lax.scan(
+        scatter_chunk_fn,
+        (key_tile, key_depth, inst_gauss),
+        (c_rmx, c_rmy, c_rw, c_cnt, c_off, c_depth, c_gid),
+    )
+
+    key_tile, key_depth, inst_gauss = jax.lax.sort(
+        (key_tile, key_depth, inst_gauss), num_keys=2
+    )
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(key_tile, tile_ids, side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(key_tile, tile_ids, side="right").astype(jnp.int32)
+    tile_count = tile_end - tile_start
+
+    # gather packed render fields; padding rows (gauss == n) read index n-1
+    # but are masked in-kernel via inst validity (tile ranges never reach them)
+    safe = jnp.minimum(inst_gauss, n - 1)
+    cols = [
+        proc.means2d[safe, 0],
+        proc.means2d[safe, 1],
+        proc.conics[safe, 0],
+        proc.conics[safe, 1],
+        proc.conics[safe, 2],
+        jnp.where(inst_gauss < n, proc.opacities[safe], 0.0),
+        proc.colors[safe, 0],
+        proc.colors[safe, 1],
+        proc.colors[safe, 2],
+        proc.depths[safe],
+    ]
+    cols += [jnp.zeros((m,), jnp.float32)] * (NUM_FIELDS - len(cols))
+    fields = jnp.stack(cols, axis=1).astype(jnp.float32)  # (M, NUM_FIELDS)
+
+    return TileBinning(
+        inst_data=fields,
+        inst_gauss=inst_gauss,
+        tile_start=tile_start,
+        tile_count=tile_count,
+        num_instances=total.astype(jnp.int32),
+        overflow=jnp.maximum(total - m, 0).astype(jnp.int32),
+        grid_x=gx,
+        grid_y=gy,
+    )

@@ -1,0 +1,127 @@
+"""Pallas tile rasterizer vs the dense oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from guidedvd3dgs_tpu.ops import raster_tiles, tiling
+from guidedvd3dgs_tpu.ops.projection import preprocess_gaussians
+from guidedvd3dgs_tpu.ops.raster_dense import rasterize_dense
+
+from helpers import activated, make_camera, random_gaussians
+
+raster_tiles.set_interpret(True)
+
+
+def setup(n=300, seed=0, height=48, width=64):
+    cam = make_camera(height=height, width=width).raster_camera()
+    parts = activated(*random_gaussians(n=n, seed=seed))
+    return cam, tuple(jnp.asarray(p) for p in parts)
+
+
+def test_binning_covers_bruteforce_tiles():
+    cam, (xyz, scales, rots, opac, sh) = setup(n=64)
+    proc = preprocess_gaussians(xyz, scales, rots, opac, sh, cam)
+    b = tiling.bin_gaussians(proc, cam.width, cam.height, max_instances=8192)
+
+    ids = np.asarray(b.inst_gauss)
+    starts, counts = np.asarray(b.tile_start), np.asarray(b.tile_count)
+    radii = np.asarray(proc.radii)
+    m2d = np.asarray(proc.means2d)
+
+    # rebuild expected (gaussian, tile) pairs per getRect
+    exp = set()
+    gx = b.grid_x
+    for i in range(64):
+        if radii[i] <= 0:
+            continue
+        r = radii[i]
+        x0 = min(max(int((m2d[i, 0] - r) / tiling.TILE), 0), gx)
+        y0 = min(max(int((m2d[i, 1] - r) / tiling.TILE), 0), b.grid_y)
+        x1 = min(max(int((m2d[i, 0] + r + tiling.TILE - 1) / tiling.TILE), 0), gx)
+        y1 = min(max(int((m2d[i, 1] + r + tiling.TILE - 1) / tiling.TILE), 0), b.grid_y)
+        for ty in range(y0, y1):
+            for tx in range(x0, x1):
+                exp.add((i, ty * gx + tx))
+
+    got = set()
+    for tile in range(gx * b.grid_y):
+        for k in range(starts[tile], starts[tile] + counts[tile]):
+            got.add((int(ids[k]), tile))
+    assert got == exp
+
+    # depth-sorted within each tile
+    depths = np.asarray(proc.depths)
+    for tile in range(gx * b.grid_y):
+        seg = ids[starts[tile] : starts[tile] + counts[tile]]
+        d = depths[seg]
+        assert (np.diff(d) >= -1e-6).all()
+
+
+def test_forward_matches_dense():
+    cam, parts = setup(n=300)
+    bg = jnp.asarray([0.2, 0.4, 0.6])
+    dense = rasterize_dense(*parts, cam, bg)
+    tiles = raster_tiles.rasterize_tiles(*parts, cam, bg)
+    np.testing.assert_allclose(
+        np.asarray(tiles.color), np.asarray(dense.color), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiles.depth), np.asarray(dense.depth), atol=2e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiles.alpha), np.asarray(dense.alpha), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(tiles.radii), np.asarray(dense.radii))
+
+
+def test_forward_matches_dense_opaque():
+    """Heavy overlap: exercises the termination path."""
+    cam, parts = setup(n=400, seed=9)
+    xyz, scales, rots, opac, sh = parts
+    opac = jnp.clip(opac * 4.0, 0.0, 0.999)
+    bg = jnp.zeros(3)
+    dense = rasterize_dense(xyz, scales, rots, opac, sh, cam, bg)
+    tiles = raster_tiles.rasterize_tiles(xyz, scales, rots, opac, sh, cam, bg)
+    np.testing.assert_allclose(
+        np.asarray(tiles.color), np.asarray(dense.color), atol=5e-5, rtol=1e-4
+    )
+
+
+def test_backward_matches_dense():
+    cam, parts = setup(n=200, seed=3, height=32, width=48)
+    xyz, scales, rots, opac, sh = parts
+    bg = jnp.zeros(3)
+    target = jnp.full((3, 32, 48), 0.3)
+    n = xyz.shape[0]
+
+    def loss_tiles(xyz, scales, rots, opac, sh, off):
+        out = raster_tiles.rasterize_tiles(
+            xyz, scales, rots, opac, sh, cam, bg, means2d_offset=off
+        )
+        return (
+            ((out.color - target) ** 2).sum()
+            + 0.1 * out.depth.sum()
+            + 0.05 * (out.alpha**2).sum()
+        )
+
+    def loss_dense(xyz, scales, rots, opac, sh, off):
+        out = rasterize_dense(
+            xyz, scales, rots, opac, sh, cam, bg, means2d_offset=off
+        )
+        return (
+            ((out.color - target) ** 2).sum()
+            + 0.1 * out.depth.sum()
+            + 0.05 * (out.alpha**2).sum()
+        )
+
+    off = jnp.zeros((n, 2))
+    g_t = jax.grad(loss_tiles, argnums=(0, 1, 2, 3, 4, 5))(xyz, scales, rots, opac, sh, off)
+    g_d = jax.grad(loss_dense, argnums=(0, 1, 2, 3, 4, 5))(xyz, scales, rots, opac, sh, off)
+
+    names = ["xyz", "scales", "rots", "opac", "sh", "offset"]
+    for name, gt, gd in zip(names, g_t, g_d):
+        gt, gd = np.asarray(gt), np.asarray(gd)
+        denom = np.abs(gd).max() + 1e-8
+        np.testing.assert_allclose(gt / denom, gd / denom, atol=2e-4, err_msg=name)
