@@ -1,0 +1,107 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from guidedvd3dgs_tpu.models import gaussians as G
+from guidedvd3dgs_tpu.parallel import make_mesh, make_dp_train_step, stack_cameras
+from guidedvd3dgs_tpu.parallel.data_parallel import train_step_dp
+from guidedvd3dgs_tpu.parallel.mesh import DATA_AXIS
+from guidedvd3dgs_tpu.train.baseline import train_step, lrs_for
+from guidedvd3dgs_tpu.config import OptimizationParams
+from tests.helpers import make_camera, random_gaussians
+
+
+def _state(n=100, cap=128, seed=0):
+    xyz, log_scales, rots, opac_logit, sh = random_gaussians(n=n, seed=seed)
+    rgb = 1.0 / (1.0 + np.exp(-sh[:, 0]))
+    return G.create_from_pcd(xyz, rgb, capacity=cap)
+
+
+def _batch(n_cams, h=32, w=32):
+    cams = [make_camera(height=h, width=w, look_noise=0.08, seed=i) for i in range(n_cams)]
+    rng = np.random.default_rng(7)
+    gts = jnp.asarray(rng.uniform(size=(n_cams, 3, h, w)).astype(np.float32))
+    rcs = stack_cameras([c.raster_camera() for c in cams])
+    return cams, rcs, gts
+
+
+def test_dp_step_runs_on_mesh():
+    mesh = make_mesh(n_data=8)
+    state = jax.device_put(_state(), NamedSharding(mesh, P()))
+    xyz_before = np.asarray(state.params.xyz)  # snapshot: state is donated
+    _, rcs, gts = _batch(8)
+    sh_b = NamedSharding(mesh, P(DATA_AXIS))
+    rcs = jax.device_put(rcs, sh_b)
+    gts = jax.device_put(gts, sh_b)
+    opt = OptimizationParams()
+    lrs = lrs_for(opt, opt.position_lr_init)
+    step = make_dp_train_step(mesh, sh_degree=0, lambda_dssim=0.2, backend="dense")
+    state2, metrics = step(state, rcs, gts, jnp.zeros(3), lrs)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+    # params actually moved
+    assert not np.allclose(np.asarray(state2.params.xyz), xyz_before)
+
+
+def test_dp_matches_sequential_grad_semantics():
+    """A B=2 DP step must equal one step whose gradient is the mean of the two
+    per-camera gradients, and its densify stats the sum of per-camera stats."""
+    opt = OptimizationParams()
+    lrs = lrs_for(opt, opt.position_lr_init)
+    bg = jnp.zeros(3)
+
+    cams, rcs, gts = _batch(2)
+    state0 = _state()
+
+    state_dp, _ = train_step_dp(
+        state0, rcs, gts, bg, lrs, sh_degree=0, lambda_dssim=0.2, backend="dense"
+    )
+
+    # sequential: accumulate stats per camera, one Adam step on mean grad.
+    # train_step applies Adam per camera, so instead recompute manually
+    from guidedvd3dgs_tpu.models.render import render_gaussians
+    from guidedvd3dgs_tpu.utils.losses import l1_loss, ssim
+
+    def single_loss(params, offset, cam, gt):
+        r = render_gaussians(
+            params, state0.active, state0.confidence, cam, bg, 0,
+            means2d_offset=offset, backend="dense",
+        )
+        return (0.8 * l1_loss(r.color, gt) + 0.2 * (1.0 - ssim(r.color, gt))), r
+
+    grads = []
+    stats_state = state0
+    for i, cam in enumerate(cams):
+        offset0 = jnp.zeros((state0.capacity, 2), jnp.float32)
+        (_, r), (gp, go) = jax.value_and_grad(single_loss, argnums=(0, 1), has_aux=True)(
+            state0.params, offset0, cam.raster_camera(), gts[i]
+        )
+        grads.append(gp)
+        stats_state = G.update_max_radii(stats_state, r.radii, r.visibility_filter)
+        stats_state = G.add_densification_stats(stats_state, go, r.visibility_filter)
+
+    mean_grad = jax.tree.map(lambda a, b: 0.5 * (a + b), *grads)
+    seq = G.adam_step(
+        stats_state, mean_grad, lrs
+    )
+
+    for a, b in zip(jax.tree.leaves(state_dp.params), jax.tree.leaves(seq.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(state_dp.xyz_gradient_accum),
+        np.asarray(seq.xyz_gradient_accum),
+        rtol=2e-4, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_dp.denom), np.asarray(seq.denom), rtol=0, atol=0
+    )
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
