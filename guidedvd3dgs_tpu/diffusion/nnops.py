@@ -1,0 +1,158 @@
+"""Functional NN primitives over torch-named parameter dicts.
+
+The diffusion stack stores parameters as a flat dict keyed by the SOURCE
+torch state_dict names (e.g. "input_blocks.0.0.weight") with tensors kept in
+torch memory layout (Linear (out,in), Conv2d OIHW, Conv3d OIDHW). Ops consume
+those layouts directly via `lax.conv_general_dilated` dimension numbers, so
+checkpoint conversion is a pure `tensor.numpy()` copy — no permutes to get
+wrong — and XLA picks optimal TPU layouts internally. Activations are
+channels-last (NHWC / NTHWC), the TPU-native layout.
+
+Reference semantics: third_party/ViewCrafter/lvdm/basics.py (normalization =
+GroupNorm32 run in f32), lvdm/models/utils_diffusion.py:8-28
+(timestep_embedding, [cos, sin] order).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = dict  # flat {torch_name: jnp.ndarray}
+
+
+def linear(p: Params, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    w = p[f"{name}.weight"]  # (out, in) torch layout
+    y = x @ w.T.astype(x.dtype)
+    b = p.get(f"{name}.bias")
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def conv2d(p: Params, name: str, x: jnp.ndarray, stride: int = 1, padding=1) -> jnp.ndarray:
+    """x: (N, H, W, C); weight: torch OIHW."""
+    w = p[f"{name}.weight"].astype(x.dtype)
+    if isinstance(padding, int):
+        padding = [(padding, padding)] * 2
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+    )
+    b = p.get(f"{name}.bias")
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def conv3d(p: Params, name: str, x: jnp.ndarray, padding=(1, 0, 0)) -> jnp.ndarray:
+    """x: (N, T, H, W, C); weight: torch OIDHW (D = time)."""
+    w = p[f"{name}.weight"].astype(x.dtype)
+    pad = [(padding[0],) * 2, (padding[1],) * 2, (padding[2],) * 2]
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(1, 1, 1), padding=pad,
+        dimension_numbers=("NDHWC", "OIDHW", "NDHWC"),
+    )
+    b = p.get(f"{name}.bias")
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def conv1d_k1(p: Params, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    """Pointwise Conv1d (kernel_size=1) as a matmul. x: (..., C_in)."""
+    w = p[f"{name}.weight"]  # (out, in, 1)
+    y = x @ w[:, :, 0].T.astype(x.dtype)
+    b = p.get(f"{name}.bias")
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def group_norm(
+    p: Params, name: str, x: jnp.ndarray, num_groups: int = 32, eps: float = 1e-5
+) -> jnp.ndarray:
+    """Channels-last GroupNorm computed in f32 (reference GroupNormSpecific,
+    lvdm/basics.py:76-87)."""
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    c = x.shape[-1]
+    g = num_groups
+    xg = x.reshape(x.shape[:-1] + (g, c // g))
+    red_axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+    mean = xg.mean(axis=red_axes, keepdims=True)
+    var = xg.var(axis=red_axes, keepdims=True)
+    xg = (xg - mean) * lax.rsqrt(var + eps)
+    x = xg.reshape(x.shape)
+    x = x * p[f"{name}.weight"].astype(jnp.float32) + p[f"{name}.bias"].astype(jnp.float32)
+    return x.astype(orig_dtype)
+
+
+def layer_norm(p: Params, name: str, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    mean = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    y = (x - mean) * lax.rsqrt(var + eps)
+    return y * p[f"{name}.weight"].astype(x.dtype) + p[f"{name}.bias"].astype(x.dtype)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def gelu(x):
+    # torch F.gelu default = exact erf form
+    return jax.nn.gelu(x, approximate=False)
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0):
+    """[cos | sin] sinusoidal embedding (reference utils_diffusion.py:8-28)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest 2x upsampling on (..., H, W, C)."""
+    h_axis, w_axis = x.ndim - 3, x.ndim - 2
+    x = jnp.repeat(x, 2, axis=h_axis)
+    x = jnp.repeat(x, 2, axis=w_axis)
+    return x
+
+
+def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    n = x.ndim
+    window = [1] * n
+    window[n - 3] = window[n - 2] = 2
+    return lax.reduce_window(x, 0.0, lax.add, window, window, "VALID") / 4.0
+
+
+def attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+    bias: Optional[jnp.ndarray] = None, mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Plain softmax attention; q,k,v: (B, H, N, D). Softmax in f32."""
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        sim = sim + bias
+    if mask is not None:
+        sim = jnp.where(mask, sim, jnp.finfo(sim.dtype).min)
+    attn = jax.nn.softmax(sim, axis=-1)
+    return jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+
+
+def split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, n, c = x.shape
+    return x.reshape(b, n, heads, c // heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)

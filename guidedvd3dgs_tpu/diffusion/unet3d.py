@@ -1,0 +1,286 @@
+"""Video diffusion UNet (L4b) — functional JAX rebuild.
+
+Equivalent of the reference `UNetModel`
+(reference: third_party/ViewCrafter/lvdm/modules/networks/openaimodel3d.py:281-602):
+ResBlocks with temporal conv blocks, spatial transformers with image
+cross-attention, temporal transformers over the frame axis, fps conditioning,
+and the `addition_attention` init temporal transformer. Parameters are a flat
+torch-named dict (see nnops.py); activations are channels-last:
+
+    x: (B, T, H, W, C)   [torch: (B, C, T, H, W)]
+
+The block layout is computed statically from the config (mirroring the
+reference constructor's index bookkeeping, openaimodel3d.py:383-545) so that
+parameter prefixes like "input_blocks.4.1" line up with the checkpoint.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from guidedvd3dgs_tpu.diffusion.attention import spatial_transformer, temporal_transformer
+from guidedvd3dgs_tpu.diffusion.nnops import (
+    Params,
+    avg_pool_2x,
+    conv2d,
+    conv3d,
+    group_norm,
+    linear,
+    silu,
+    timestep_embedding,
+    upsample_nearest_2x,
+)
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """Mirrors configs/inference_pvd_1024.yaml unet_config params."""
+
+    in_channels: int = 8
+    out_channels: int = 4
+    model_channels: int = 320
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (4, 2, 1)
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_head_channels: int = 64
+    transformer_depth: int = 1
+    context_dim: int = 1024
+    use_linear: bool = True
+    temporal_conv: bool = True
+    temporal_attention: bool = True
+    use_relative_position: bool = False
+    temporal_length: int = 16
+    addition_attention: bool = True
+    image_cross_attention: bool = True
+    default_fs: int = 10
+    fs_condition: bool = True
+    text_context_len: int = 77
+    image_tokens_per_frame: int = 16
+
+
+# block descriptors: (kind, prefix, meta)
+Block = Tuple[str, str, dict]
+
+
+def build_layout(cfg: UNetConfig):
+    """Static (input_blocks, middle, output_blocks) descriptor lists with
+    torch-compatible prefixes (reference openaimodel3d.py:383-545)."""
+    mc = cfg.model_channels
+
+    def heads_dims(ch):
+        return ch // cfg.num_head_channels, cfg.num_head_channels
+
+    input_blocks: List[List[Block]] = [
+        [("conv_in", "input_blocks.0.0", {})]
+    ]
+    input_chans = [mc]
+    ch, ds = mc, 1
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            idx = len(input_blocks)
+            layers: List[Block] = [
+                (
+                    "res",
+                    f"input_blocks.{idx}.0",
+                    dict(in_ch=ch, out_ch=mult * mc, temporal=cfg.temporal_conv),
+                )
+            ]
+            ch = mult * mc
+            if ds in cfg.attention_resolutions:
+                nh, dh = heads_dims(ch)
+                layers.append(("spatial", f"input_blocks.{idx}.1", dict(heads=nh, dim_head=dh)))
+                if cfg.temporal_attention:
+                    layers.append(
+                        ("temporal", f"input_blocks.{idx}.2", dict(heads=nh, dim_head=dh))
+                    )
+            input_blocks.append(layers)
+            input_chans.append(ch)
+        if level != len(cfg.channel_mult) - 1:
+            idx = len(input_blocks)
+            input_blocks.append([("down", f"input_blocks.{idx}.0", {})])
+            input_chans.append(ch)
+            ds *= 2
+
+    nh, dh = heads_dims(ch)
+    middle: List[Block] = [
+        ("res", "middle_block.0", dict(in_ch=ch, out_ch=ch, temporal=cfg.temporal_conv)),
+        ("spatial", "middle_block.1", dict(heads=nh, dim_head=dh)),
+    ]
+    mi = 2
+    if cfg.temporal_attention:
+        middle.append(("temporal", f"middle_block.{mi}", dict(heads=nh, dim_head=dh)))
+        mi += 1
+    middle.append(("res", f"middle_block.{mi}", dict(in_ch=ch, out_ch=ch, temporal=cfg.temporal_conv)))
+
+    output_blocks: List[List[Block]] = []
+    for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+        for i in range(cfg.num_res_blocks + 1):
+            ich = input_chans.pop()
+            idx = len(output_blocks)
+            layers = [
+                (
+                    "res",
+                    f"output_blocks.{idx}.0",
+                    dict(in_ch=ch + ich, out_ch=mult * mc, temporal=cfg.temporal_conv),
+                )
+            ]
+            ch = mult * mc
+            li = 1
+            if ds in cfg.attention_resolutions:
+                nh, dh = heads_dims(ch)
+                layers.append(("spatial", f"output_blocks.{idx}.{li}", dict(heads=nh, dim_head=dh)))
+                li += 1
+                if cfg.temporal_attention:
+                    layers.append(
+                        ("temporal", f"output_blocks.{idx}.{li}", dict(heads=nh, dim_head=dh))
+                    )
+                    li += 1
+            if level and i == cfg.num_res_blocks:
+                layers.append(("up", f"output_blocks.{idx}.{li}", {}))
+                ds //= 2
+            output_blocks.append(layers)
+
+    return input_blocks, middle, output_blocks
+
+
+def temporal_conv_block(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
+    """Identity-initialized 3D conv stack (reference openaimodel3d.py:239-279).
+    x: (B, T, H, W, C)."""
+    identity = x
+    h = conv3d(p, f"{prefix}.conv1.2", silu(group_norm(p, f"{prefix}.conv1.0", x)))
+    h = conv3d(p, f"{prefix}.conv2.3", silu(group_norm(p, f"{prefix}.conv2.0", h)))
+    h = conv3d(p, f"{prefix}.conv3.3", silu(group_norm(p, f"{prefix}.conv3.0", h)))
+    h = conv3d(p, f"{prefix}.conv4.3", silu(group_norm(p, f"{prefix}.conv4.0", h)))
+    return identity + h
+
+
+def res_block(
+    p: Params,
+    prefix: str,
+    x: jnp.ndarray,  # ((B T), H, W, C)
+    emb: jnp.ndarray,  # ((B T), E)
+    in_ch: int,
+    out_ch: int,
+    temporal: bool,
+    batch: int,
+) -> jnp.ndarray:
+    """reference openaimodel3d.py:210-237 (_forward, no scale-shift-norm, no
+    updown in this config)."""
+    h = conv2d(p, f"{prefix}.in_layers.2", silu(group_norm(p, f"{prefix}.in_layers.0", x)))
+    emb_out = linear(p, f"{prefix}.emb_layers.1", silu(emb))
+    h = h + emb_out[:, None, None, :]
+    h = conv2d(p, f"{prefix}.out_layers.3", silu(group_norm(p, f"{prefix}.out_layers.0", h)))
+    if out_ch == in_ch:
+        skip = x
+    elif f"{prefix}.skip_connection.weight" in p and p[f"{prefix}.skip_connection.weight"].shape[-1] == 1:
+        skip = conv2d(p, f"{prefix}.skip_connection", x, padding=0)
+    else:
+        skip = conv2d(p, f"{prefix}.skip_connection", x, padding=1)
+    h = skip + h
+    if temporal:
+        bt, hh, ww, c = h.shape
+        hv = h.reshape(batch, bt // batch, hh, ww, c)
+        # reference key keeps the upstream typo "temopral_conv"
+        hv = temporal_conv_block(p, f"{prefix}.temopral_conv", hv)
+        h = hv.reshape(bt, hh, ww, c)
+    return h
+
+
+def _apply_layers(
+    p: Params, layers: List[Block], h: jnp.ndarray, emb: jnp.ndarray,
+    context: Optional[jnp.ndarray], cfg: UNetConfig, batch: int,
+) -> jnp.ndarray:
+    for kind, prefix, meta in layers:
+        if kind == "conv_in":
+            h = conv2d(p, prefix, h)
+        elif kind == "res":
+            h = res_block(p, prefix, h, emb, meta["in_ch"], meta["out_ch"], meta["temporal"], batch)
+        elif kind == "spatial":
+            h = spatial_transformer(
+                p, prefix, h, context, meta["heads"], meta["dim_head"],
+                depth=cfg.transformer_depth, use_linear=cfg.use_linear,
+                image_cross_attention=cfg.image_cross_attention,
+            )
+        elif kind == "temporal":
+            bt, hh, ww, c = h.shape
+            hv = h.reshape(batch, bt // batch, hh, ww, c)
+            hv = temporal_transformer(
+                p, prefix, hv, None, meta["heads"], meta["dim_head"],
+                depth=cfg.transformer_depth, use_linear=cfg.use_linear,
+                relative_position=cfg.use_relative_position,
+                temporal_length=cfg.temporal_length,
+            )
+            h = hv.reshape(bt, hh, ww, c)
+        elif kind == "down":
+            h = conv2d(p, f"{prefix}.op", h, stride=2, padding=1)
+        elif kind == "up":
+            h = conv2d(p, f"{prefix}.conv", upsample_nearest_2x(h))
+        else:
+            raise ValueError(kind)
+    return h
+
+
+def unet_apply(
+    p: Params,
+    cfg: UNetConfig,
+    x: jnp.ndarray,  # (B, T, H, W, C_in)
+    timesteps: jnp.ndarray,  # (B,)
+    context: jnp.ndarray,  # (B, 77 [+ T*16], context_dim)
+    fs: Optional[jnp.ndarray] = None,  # (B,) int
+) -> jnp.ndarray:
+    """reference openaimodel3d.py:548-601 forward."""
+    b, t, hh, ww, _ = x.shape
+
+    t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
+    emb = linear(p, "time_embed.2", silu(linear(p, "time_embed.0", t_emb)))
+
+    # per-frame image conditioning split (reference :555-563, hard-coded 77+t*16)
+    l_context = context.shape[1]
+    if l_context == cfg.text_context_len + t * cfg.image_tokens_per_frame:
+        ctx_text = context[:, : cfg.text_context_len, :]
+        ctx_img = context[:, cfg.text_context_len :, :]
+        ctx_text = jnp.repeat(ctx_text, t, axis=0)  # repeat_interleave
+        ctx_img = ctx_img.reshape(b * t, cfg.image_tokens_per_frame, -1)
+        context = jnp.concatenate([ctx_text, ctx_img], axis=1)
+    else:
+        context = jnp.repeat(context, t, axis=0)
+    emb = jnp.repeat(emb, t, axis=0)
+
+    if cfg.fs_condition:
+        if fs is None:
+            fs = jnp.full((b,), cfg.default_fs, jnp.int32)
+        fs_emb = timestep_embedding(fs, cfg.model_channels).astype(x.dtype)
+        fs_embed = linear(p, "fps_embedding.2", silu(linear(p, "fps_embedding.0", fs_emb)))
+        emb = emb + jnp.repeat(fs_embed, t, axis=0)
+
+    h = x.reshape(b * t, hh, ww, x.shape[-1])
+
+    input_blocks, middle, output_blocks = build_layout(cfg)
+    hs = []
+    for i, layers in enumerate(input_blocks):
+        h = _apply_layers(p, layers, h, emb, context, cfg, b)
+        if i == 0 and cfg.addition_attention:
+            # init_attn: TemporalTransformer with conv1d projections
+            # (reference :389-400, use_linear defaults False there)
+            bt, ph, pw, c = h.shape
+            hv = h.reshape(b, t, ph, pw, c)
+            hv = temporal_transformer(
+                p, "init_attn.0", hv, None, 8, cfg.num_head_channels,
+                depth=cfg.transformer_depth, use_linear=False,
+                relative_position=cfg.use_relative_position,
+                temporal_length=cfg.temporal_length,
+            )
+            h = hv.reshape(bt, ph, pw, c)
+        hs.append(h)
+
+    h = _apply_layers(p, middle, h, emb, context, cfg, b)
+
+    for layers in output_blocks:
+        h = jnp.concatenate([h, hs.pop()], axis=-1)
+        h = _apply_layers(p, layers, h, emb, context, cfg, b)
+
+    y = conv2d(p, "out.2", silu(group_norm(p, "out.0", h)))
+    return y.reshape(b, t, hh, ww, cfg.out_channels)

@@ -130,9 +130,7 @@ def _fwd_kernel(
     inst_ref,  # (M, NUM_FIELDS) in ANY/HBM
     bg_ref,  # (3, 1) SMEM
     # outputs (VMEM blocks)
-    color_ref,  # (3, TILE, TILE)
-    depth_ref,  # (TILE, TILE)
-    alpha_ref,  # (TILE, TILE)
+    out_ref,  # (1, 8, TILE_PIX): rows 0-2 color, 3 depth, 4 alpha, 5-7 pad
     # scratch
     chunk_vmem,  # (CHUNK, NUM_FIELDS)
     sem,
@@ -182,14 +180,27 @@ def _fwd_kernel(
     _, T, _, accC, accD, accA = jax.lax.while_loop(cond, body, init)
 
     bg = jnp.stack([bg_ref[0, 0], bg_ref[1, 0], bg_ref[2, 0]]).reshape(3, 1)
-    color_ref[:] = (accC + T * bg).reshape(3, TILE, TILE)
-    depth_ref[:] = accD.reshape(TILE, TILE)
-    alpha_ref[:] = accA.reshape(TILE, TILE)
+    out_ref[0] = jnp.concatenate(
+        [accC + T * bg, accD, accA, jnp.zeros((3, TILE_PIX), jnp.float32)], axis=0
+    )
+
+
+def _tiles_to_planes(packed: jnp.ndarray, gx: int, gy: int) -> jnp.ndarray:
+    """(num_tiles, R, TILE_PIX) -> (R, gy*TILE, gx*TILE)."""
+    r = packed.shape[1]
+    x = packed.reshape(gy, gx, r, TILE, TILE)
+    return x.transpose(2, 0, 3, 1, 4).reshape(r, gy * TILE, gx * TILE)
+
+
+def _planes_to_tiles(planes: jnp.ndarray, gx: int, gy: int) -> jnp.ndarray:
+    """(R, gy*TILE, gx*TILE) -> (num_tiles, R, TILE_PIX)."""
+    r = planes.shape[0]
+    x = planes.reshape(r, gy, TILE, gx, TILE)
+    return x.transpose(1, 3, 0, 2, 4).reshape(gy * gx, r, TILE_PIX)
 
 
 def _run_fwd(inst_data, tile_start, tile_count, bg, gx: int, gy: int):
     num_tiles = gx * gy
-    hp, wp = gy * TILE, gx * TILE
     kernel = functools.partial(_fwd_kernel, gx=gx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -198,26 +209,20 @@ def _run_fwd(inst_data, tile_start, tile_count, bg, gx: int, gy: int):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((3, TILE, TILE), lambda t, *_: (0, t // gx, t % gx)),
-            pl.BlockSpec((TILE, TILE), lambda t, *_: (t // gx, t % gx)),
-            pl.BlockSpec((TILE, TILE), lambda t, *_: (t // gx, t % gx)),
-        ],
+        out_specs=pl.BlockSpec((1, 8, TILE_PIX), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((CHUNK, NUM_FIELDS), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    return pl.pallas_call(
+    packed = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, TILE_PIX), jnp.float32),
         interpret=_INTERPRET[0],
     )(tile_start, tile_count, inst_data, bg.reshape(3, 1))
+    planes = _tiles_to_planes(packed, gx, gy)
+    return planes[0:3], planes[3], planes[4]
 
 
 # ----------------------------------------------------------------------------
@@ -229,12 +234,8 @@ def _bwd_kernel(
     tile_start_ref,
     tile_count_ref,
     inst_ref,  # (M, NUM_FIELDS) ANY
-    C_ref,  # (3, TILE, TILE)
-    D_ref,
-    A_ref,
-    dC_ref,
-    dD_ref,
-    dA_ref,
+    fwd_ref,  # (1, 8, TILE_PIX): rows 0-2 C, 3 D, 4 A
+    cot_ref,  # (1, 8, TILE_PIX): rows 0-2 dC, 3 dD, 4 dA
     grad_ref,  # (M, NUM_FIELDS) ANY output
     chunk_vmem,
     gchunk_vmem,
@@ -252,12 +253,12 @@ def _bwd_kernel(
     pixx, pixy = _pixel_coords(t, gx)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
-    dC = dC_ref[:].reshape(3, TILE_PIX)
-    dD = dD_ref[:].reshape(1, TILE_PIX)
-    dA = dA_ref[:].reshape(1, TILE_PIX)
-    C = C_ref[:].reshape(3, TILE_PIX)
-    D = D_ref[:].reshape(1, TILE_PIX)
-    A = A_ref[:].reshape(1, TILE_PIX)
+    dC = cot_ref[0, 0:3, :]
+    dD = cot_ref[0, 3:4, :]
+    dA = cot_ref[0, 4:5, :]
+    C = fwd_ref[0, 0:3, :]
+    D = fwd_ref[0, 3:4, :]
+    A = fwd_ref[0, 4:5, :]
     # U = sum_incl w_j u_j + T_final * (bg . dC) per pixel — recovered from
     # the forward outputs (see module docstring)
     U = jnp.sum(C * dC, axis=0, keepdims=True) + D * dD + A * dA
@@ -341,20 +342,22 @@ def _run_bwd(
 ):
     num_tiles = gx * gy
     m = inst_data.shape[0]
+    zero_row = jnp.zeros_like(D)[None]
+    fwd_packed = _planes_to_tiles(
+        jnp.concatenate([C, D[None], A[None], zero_row, zero_row, zero_row], 0), gx, gy
+    )
+    cot_packed = _planes_to_tiles(
+        jnp.concatenate([dC, dD[None], dA[None], zero_row, zero_row, zero_row], 0), gx, gy
+    )
     kernel = functools.partial(_bwd_kernel, gx=gx)
-    bmap3 = lambda t, *_: (0, t // gx, t % gx)
-    bmap2 = lambda t, *_: (t // gx, t % gx)
+    bmap = lambda t, *_: (t, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((3, TILE, TILE), bmap3),
-            pl.BlockSpec((TILE, TILE), bmap2),
-            pl.BlockSpec((TILE, TILE), bmap2),
-            pl.BlockSpec((3, TILE, TILE), bmap3),
-            pl.BlockSpec((TILE, TILE), bmap2),
-            pl.BlockSpec((TILE, TILE), bmap2),
+            pl.BlockSpec((1, 8, TILE_PIX), bmap),
+            pl.BlockSpec((1, 8, TILE_PIX), bmap),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -370,7 +373,7 @@ def _run_bwd(
         out_shape=jax.ShapeDtypeStruct((m, NUM_FIELDS), jnp.float32),
         interpret=_INTERPRET[0],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_count, inst_data, C, D, A, dC, dD, dA)
+    )(tile_start, tile_count, inst_data, fwd_packed, cot_packed)
 
 
 # ----------------------------------------------------------------------------
