@@ -1,0 +1,162 @@
+"""Scene-grounding guided DDIM sampler (the paper's Algorithm 1).
+
+Equivalent of the reference `DDIMSamplerGuidance`
+(reference: third_party/ViewCrafter/lvdm/models/samplers/ddim_guidance.py:205-363):
+per step, the scene-grounding loss gradient w.r.t. the latent x is
+
+    dL/dx = J^T_{x -> pred_x0} . (dL/dpred_x0 via per-frame VAE decode)
+
+with a stop-gradient barrier between the two factors (the torch code's
+clone().detach() per frame, :305-327, followed by pred_x0.backward(grad,
+inputs=x), :337-339). In JAX the whole dance is one per-frame `jax.grad`
+through the VAE decode plus one `jax.vjp` through the CFG'd UNet pair,
+then the adaptive step
+
+    rho = RMS(e_cond - e_uncond) * cfg_scale / RMS(dL/dx) * 0.2 * w
+    x_prev <- x_prev - rho * dL/dx                         (:346-354)
+
+and optional time-travel re-noising for recur_steps=2 (:360).
+
+The per-frame guidance normalization divides by the mask numel
+(:316-317, mean_loss=False path — the reference notes that taking .mean()
+inside the loss produces zero grads in their setup, so loss is summed and
+divided here).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from guidedvd3dgs_tpu.diffusion.model import (
+    Conditioning,
+    DiffusionParams,
+    LatentDiffusionConfig,
+    apply_model,
+    decode_frame,
+)
+from guidedvd3dgs_tpu.diffusion.samplers.ddim import ddim_step
+from guidedvd3dgs_tpu.diffusion.schedules import (
+    DDIMParams,
+    DiffusionSchedule,
+    predict_start_from_z_and_v,
+    rescale_noise_cfg,
+)
+
+# guidance_fn(decoded_frame (H,W,3) in [-1,1], ddim_index, frame_idx)
+#   -> (summed loss, numel normalizer)
+GuidanceFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+class GuidedSampleConfig(NamedTuple):
+    cfg_scale: float = 7.5
+    guidance_rescale: float = 0.7
+    temperature: float = 1.0
+    rho_scale: float = 0.2  # reference :351 `rho_scale = 0.2 * scale_w`
+    recur_steps: int = 1
+    mean_loss: bool = False
+
+
+def _guided_step(
+    params: DiffusionParams,
+    mcfg: LatentDiffusionConfig,
+    sched: DiffusionSchedule,
+    pr: DDIMParams,
+    cond: Conditioning,
+    uncond: Conditioning,
+    scfg: GuidedSampleConfig,
+    guidance_fn: GuidanceFn,
+    scale_guidance_weight: jnp.ndarray,
+    x: jnp.ndarray,  # (1, T, h, w, 4)
+    index: jnp.ndarray,  # () int32
+    rng: jax.Array,
+):
+    b = x.shape[0]
+    t = jnp.broadcast_to(pr.timesteps[index], (b,))
+    rescale = pr.scale_arr_prev[index] / pr.scale_arr[index]
+
+    def pred_x0_of_x(xv):
+        v_cond = apply_model(params, mcfg, xv, t, cond)
+        v_uncond = apply_model(params, mcfg, xv, t, uncond)
+        mo = v_uncond + scfg.cfg_scale * (v_cond - v_uncond)
+        mo = rescale_noise_cfg(mo, v_cond, scfg.guidance_rescale)
+        px0 = predict_start_from_z_and_v(sched, xv, t, mo) * rescale
+        return px0, (mo, v_cond - v_uncond)
+
+    pred_x0, vjp_fn, (mo, correction) = jax.vjp(pred_x0_of_x, x, has_aux=True)
+
+    rng, nk = jax.random.split(rng)
+    noise = jax.random.normal(nk, x.shape, x.dtype)
+    # ddim_step recomputes pred_x0 from mo — identical values
+    out = ddim_step(sched, pr, index, x, mo, noise, scfg.temperature)
+    x_prev = out.x_prev
+
+    # per-frame guidance gradient through the VAE decode (barriered from the
+    # UNet exactly like the reference's clone/detach, :305-327)
+    def floss(zf, frame_idx):
+        d = decode_frame(params, mcfg, zf)
+        loss, numel = guidance_fn(d, index, frame_idx)
+        return loss, numel
+
+    def scan_body(carry, inp):
+        z_f, frame_idx = inp
+        g, numel = jax.grad(floss, has_aux=True)(z_f, frame_idx)
+        if not scfg.mean_loss:
+            g = g / numel
+        return carry, g
+
+    zs = jax.lax.stop_gradient(pred_x0[0])  # (T, h, w, 4)
+    _, grads = jax.lax.scan(scan_body, None, (zs, jnp.arange(zs.shape[0])))
+    grads = grads[None]  # (1, T, h, w, 4) = dL/dpred_x0
+
+    (gx,) = vjp_fn(grads.astype(pred_x0.dtype))  # dL/dx through the UNet pair
+
+    rms_g = jnp.sqrt(jnp.mean(gx.astype(jnp.float32) ** 2))
+    rms_corr = jnp.sqrt(jnp.mean(correction.astype(jnp.float32) ** 2))
+    rho = jnp.where(
+        rms_g == 0.0,
+        0.0,
+        rms_corr * scfg.cfg_scale / rms_g * scfg.rho_scale * scale_guidance_weight,
+    )
+    x_prev = x_prev - rho * gx
+    return x_prev, out.pred_x0, rng
+
+
+def guided_ddim_sample(
+    params: DiffusionParams,
+    mcfg: LatentDiffusionConfig,
+    sched: DiffusionSchedule,
+    pr: DDIMParams,
+    cond: Conditioning,
+    uncond: Conditioning,
+    x_T: jnp.ndarray,
+    rng: jax.Array,
+    guidance_fn: GuidanceFn,
+    scfg: GuidedSampleConfig = GuidedSampleConfig(),
+    scale_guidance_weight: float | jnp.ndarray = 1.0,
+) -> jnp.ndarray:
+    """Full guided reverse process (reference ddim_guidance.py:136-202 +
+    :205-363). Returns x_0 latents (1, T, h, w, 4)."""
+    s = pr.num_steps
+    sw = jnp.asarray(scale_guidance_weight, jnp.float32)
+
+    def body(carry, i):
+        x, key = carry
+        index = s - 1 - i
+        for r in range(scfg.recur_steps):
+            x_prev, _, key = _guided_step(
+                params, mcfg, sched, pr, cond, uncond, scfg, guidance_fn, sw,
+                x, index, key,
+            )
+            if r + 1 < scfg.recur_steps:
+                # time travel: re-noise x_prev back to t (reference :360)
+                beta_t = pr.alphas[index] / pr.alphas_prev[index]
+                key, nk = jax.random.split(key)
+                n = jax.random.normal(nk, x.shape, x.dtype)
+                x = jnp.sqrt(beta_t) * x_prev + jnp.sqrt(1.0 - beta_t) * n
+        return (x_prev, key), None
+
+    (x, _), _ = jax.lax.scan(body, (x_T, rng), jnp.arange(s))
+    return x

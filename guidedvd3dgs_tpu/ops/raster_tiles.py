@@ -127,12 +127,12 @@ def _fwd_kernel(
     tile_start_ref,
     tile_count_ref,
     # inputs
-    inst_ref,  # (M, NUM_FIELDS) in ANY/HBM
+    inst_ref,  # (NUM_FIELDS, M) in ANY/HBM
     bg_ref,  # (3, 1) SMEM
     # outputs (VMEM blocks)
     out_ref,  # (1, 8, TILE_PIX): rows 0-2 color, 3 depth, 4 alpha, 5-7 pad
     # scratch
-    chunk_vmem,  # (CHUNK, NUM_FIELDS)
+    chunk_vmem,  # (NUM_FIELDS, CHUNK)
     sem,
     *,
     gx: int,
@@ -153,10 +153,10 @@ def _fwd_kernel(
     def body(carry):
         c, T, done, accC, accD, accA = carry
         off = astart + c * CHUNK
-        cp = pltpu.make_async_copy(inst_ref.at[pl.ds(off, CHUNK), :], chunk_vmem, sem)
+        cp = pltpu.make_async_copy(inst_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem, sem)
         cp.start()
         cp.wait()
-        data = chunk_vmem[:, :]
+        data = chunk_vmem[:, :].T  # (CHUNK, NUM_FIELDS)
         idx = off + col_idx
         valid = (idx >= start) & (idx < start + count)
 
@@ -169,13 +169,18 @@ def _fwd_kernel(
         accA = accA + jnp.sum(w, axis=0, keepdims=True)
         return (c + 1, q["T_out"], q["done_out"], accC, accD, accA)
 
+    # concrete-layout inits: broadcast constants carry a replicated Mosaic
+    # layout ({*,0}) that mismatches the loop body's concrete {0,0} layout
+    # and fails scf.yield legalization on real TPU — derive from an iota
+    ilin = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIX), 1)
+    zlin = jnp.where(ilin < 0, 1.0, 0.0)  # all-zero f32 with concrete layout
     init = (
         jnp.int32(0),
-        jnp.ones((1, TILE_PIX), jnp.float32),
-        jnp.zeros((1, TILE_PIX), bool),
-        jnp.zeros((3, TILE_PIX), jnp.float32),
-        jnp.zeros((1, TILE_PIX), jnp.float32),
-        jnp.zeros((1, TILE_PIX), jnp.float32),
+        1.0 + zlin,
+        zlin > 1.0,
+        jnp.zeros((3, TILE_PIX), jnp.float32) + zlin,
+        zlin,
+        zlin,
     )
     _, T, _, accC, accD, accA = jax.lax.while_loop(cond, body, init)
 
@@ -211,7 +216,7 @@ def _run_fwd(inst_data, tile_start, tile_count, bg, gx: int, gy: int):
         ],
         out_specs=pl.BlockSpec((1, 8, TILE_PIX), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, NUM_FIELDS), jnp.float32),
+            pltpu.VMEM((NUM_FIELDS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -233,12 +238,12 @@ def _run_fwd(inst_data, tile_start, tile_count, bg, gx: int, gy: int):
 def _bwd_kernel(
     tile_start_ref,
     tile_count_ref,
-    inst_ref,  # (M, NUM_FIELDS) ANY
+    inst_ref,  # (NUM_FIELDS, M) ANY
     fwd_ref,  # (1, 8, TILE_PIX): rows 0-2 C, 3 D, 4 A
     cot_ref,  # (1, 8, TILE_PIX): rows 0-2 dC, 3 dD, 4 dA
-    grad_ref,  # (M, NUM_FIELDS) ANY output
-    chunk_vmem,
-    gchunk_vmem,
+    grad_ref,  # (NUM_FIELDS, M) ANY output
+    chunk_vmem,  # (NUM_FIELDS, CHUNK)
+    gchunk_vmem,  # (NUM_FIELDS, CHUNK)
     sem,
     gsem,
     *,
@@ -270,10 +275,10 @@ def _bwd_kernel(
     def body(carry):
         c, T, done, prefix = carry
         off = astart + c * CHUNK
-        cp = pltpu.make_async_copy(inst_ref.at[pl.ds(off, CHUNK), :], chunk_vmem, sem)
+        cp = pltpu.make_async_copy(inst_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem, sem)
         cp.start()
         cp.wait()
-        data = chunk_vmem[:, :]
+        data = chunk_vmem[:, :].T  # (CHUNK, NUM_FIELDS)
         idx = off + col_idx
         valid = (idx >= start) & (idx < start + count)
 
@@ -314,25 +319,28 @@ def _bwd_kernel(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col, d_d, zeros], axis=1
         )
 
-        # read-modify-write the (CHUNK, NUM_FIELDS) block: preserve columns
+        # read-modify-write the (NUM_FIELDS, CHUNK) block: preserve lanes
         # written by earlier tiles (idx < start), zero the seam we own
-        rd = pltpu.make_async_copy(grad_ref.at[pl.ds(off, CHUNK), :], gchunk_vmem, gsem)
+        rd = pltpu.make_async_copy(grad_ref.at[:, pl.ds(off, CHUNK)], gchunk_vmem, gsem)
         rd.start()
         rd.wait()
         old = gchunk_vmem[:, :]
-        merged = jnp.where(idx < start, old, 0.0) + gout
+        idx_lane = off + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        merged = jnp.where(idx_lane < start, old, 0.0) + gout.T
         gchunk_vmem[:, :] = merged
-        wr = pltpu.make_async_copy(gchunk_vmem, grad_ref.at[pl.ds(off, CHUNK), :], gsem)
+        wr = pltpu.make_async_copy(gchunk_vmem, grad_ref.at[:, pl.ds(off, CHUNK)], gsem)
         wr.start()
         wr.wait()
 
         return (c + 1, q["T_out"], q["done_out"], prefix + jnp.sum(wu, axis=0, keepdims=True))
 
+    ilin = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIX), 1)
+    zlin = jnp.where(ilin < 0, 1.0, 0.0)  # all-zero f32 with concrete layout
     init = (
         jnp.int32(0),
-        jnp.ones((1, TILE_PIX), jnp.float32),
-        jnp.zeros((1, TILE_PIX), bool),
-        jnp.zeros((1, TILE_PIX), jnp.float32),
+        1.0 + zlin,
+        zlin > 1.0,
+        zlin,
     )
     jax.lax.while_loop(cond, body, init)
 
@@ -341,7 +349,7 @@ def _run_bwd(
     inst_data, tile_start, tile_count, C, D, A, dC, dD, dA, gx: int, gy: int
 ):
     num_tiles = gx * gy
-    m = inst_data.shape[0]
+    m = inst_data.shape[1]
     zero_row = jnp.zeros_like(D)[None]
     fwd_packed = _planes_to_tiles(
         jnp.concatenate([C, D[None], A[None], zero_row, zero_row, zero_row], 0), gx, gy
@@ -361,8 +369,8 @@ def _run_bwd(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, NUM_FIELDS), jnp.float32),
-            pltpu.VMEM((CHUNK, NUM_FIELDS), jnp.float32),
+            pltpu.VMEM((NUM_FIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_FIELDS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -370,7 +378,7 @@ def _run_bwd(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m, NUM_FIELDS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NUM_FIELDS, m), jnp.float32),
         interpret=_INTERPRET[0],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_start, tile_count, inst_data, fwd_packed, cot_packed)
@@ -469,11 +477,12 @@ def _raster_bwd(static_cfg, height, width, res, cotangents):
 
     n = means3d.shape[0]
     ids = binning.inst_gauss  # (M,) n => padding
-    d_m2d = jnp.zeros((n, 2), jnp.float32).at[ids].add(grad_inst[:, 0:2], mode="drop")
-    d_conic = jnp.zeros((n, 3), jnp.float32).at[ids].add(grad_inst[:, 2:5], mode="drop")
-    d_opac = jnp.zeros((n,), jnp.float32).at[ids].add(grad_inst[:, F_OP], mode="drop")
-    d_color = jnp.zeros((n, 3), jnp.float32).at[ids].add(grad_inst[:, F_R : F_R + 3], mode="drop")
-    d_depth = jnp.zeros((n,), jnp.float32).at[ids].add(grad_inst[:, F_D], mode="drop")
+    gi = grad_inst.T  # (M, NUM_FIELDS)
+    d_m2d = jnp.zeros((n, 2), jnp.float32).at[ids].add(gi[:, 0:2], mode="drop")
+    d_conic = jnp.zeros((n, 3), jnp.float32).at[ids].add(gi[:, 2:5], mode="drop")
+    d_opac = jnp.zeros((n,), jnp.float32).at[ids].add(gi[:, F_OP], mode="drop")
+    d_color = jnp.zeros((n, 3), jnp.float32).at[ids].add(gi[:, F_R : F_R + 3], mode="drop")
+    d_depth = jnp.zeros((n,), jnp.float32).at[ids].add(gi[:, F_D], mode="drop")
 
     cam = RasterCamera(viewmatrix, projmatrix, campos, tanfovx, tanfovy, height, width)
 

@@ -26,7 +26,7 @@ F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_D = range(10)
 
 
 class TileBinning(NamedTuple):
-    inst_data: jnp.ndarray  # (M, NUM_FIELDS) float32, packed render fields
+    inst_data: jnp.ndarray  # (NUM_FIELDS, M) float32, packed render fields
     inst_gauss: jnp.ndarray  # (M,) int32 gaussian index (N => padding)
     tile_start: jnp.ndarray  # (num_tiles,) int32
     tile_count: jnp.ndarray  # (num_tiles,) int32
@@ -138,7 +138,10 @@ def bin_gaussians(
         proc.depths[safe],
     ]
     cols += [jnp.zeros((m,), jnp.float32)] * (NUM_FIELDS - len(cols))
-    fields = jnp.stack(cols, axis=1).astype(jnp.float32)  # (M, NUM_FIELDS)
+    # field-major (NUM_FIELDS, M): HBM lane dim = M so per-chunk DMA slices
+    # are 128-aligned (16, CHUNK) blocks (Mosaic cannot slice a 16-lane-wide
+    # (M, 16) buffer)
+    fields = jnp.stack(cols, axis=0).astype(jnp.float32)  # (NUM_FIELDS, M)
 
     return TileBinning(
         inst_data=fields,

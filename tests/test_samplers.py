@@ -1,0 +1,177 @@
+"""DDIM sampler tests: tiny end-to-end runs + guidance-gradient semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from guidedvd3dgs_tpu.diffusion import schedules as S
+from guidedvd3dgs_tpu.diffusion.model import (
+    Conditioning,
+    DiffusionParams,
+    LatentDiffusionConfig,
+    apply_model,
+    decode_video_frames,
+    encode_video_frames,
+)
+from guidedvd3dgs_tpu.diffusion.samplers.ddim import ddim_sample
+from guidedvd3dgs_tpu.diffusion.samplers.ddim_guidance import (
+    GuidedSampleConfig,
+    guided_ddim_sample,
+)
+from guidedvd3dgs_tpu.diffusion.unet3d import UNetConfig, build_layout
+from guidedvd3dgs_tpu.diffusion.vae import VAEConfig
+
+
+def _tiny_cfg():
+    return LatentDiffusionConfig(
+        unet=UNetConfig(
+            in_channels=8, out_channels=4, model_channels=32, num_res_blocks=1,
+            attention_resolutions=(1,), channel_mult=(1,), num_head_channels=8,
+            context_dim=16, temporal_length=2,
+        ),
+        vae=VAEConfig(ch=32, ch_mult=(1,), num_res_blocks=1, attn_resolutions=(),
+                      resolution=32, z_channels=4),
+    )
+
+
+def _init_params(rng, cfg: LatentDiffusionConfig):
+    """Random torch-layout params for the tiny UNet + VAE, built by walking
+    the same layout the apply functions consume."""
+    import torch
+
+    import sys
+    sys.path.insert(0, "/root/reference/third_party/ViewCrafter")
+    from lvdm.modules.networks.openaimodel3d import UNetModel
+    from lvdm.modules.networks.ae_modules import Decoder, Encoder
+
+    torch.manual_seed(0)
+    u = cfg.unet
+    m = UNetModel(
+        in_channels=u.in_channels, out_channels=u.out_channels,
+        model_channels=u.model_channels, num_res_blocks=u.num_res_blocks,
+        attention_resolutions=list(u.attention_resolutions),
+        channel_mult=list(u.channel_mult), num_head_channels=u.num_head_channels,
+        transformer_depth=1, context_dim=u.context_dim, use_linear=True,
+        use_checkpoint=False, temporal_conv=u.temporal_conv,
+        temporal_attention=u.temporal_attention, temporal_selfatt_only=True,
+        use_relative_position=False, use_causal_attention=False,
+        temporal_length=u.temporal_length, addition_attention=u.addition_attention,
+        image_cross_attention=u.image_cross_attention, fs_condition=u.fs_condition,
+    )
+    v = cfg.vae
+    dd = dict(double_z=True, z_channels=v.z_channels, resolution=v.resolution,
+              in_channels=3, out_ch=3, ch=v.ch, ch_mult=list(v.ch_mult),
+              num_res_blocks=v.num_res_blocks, attn_resolutions=[], dropout=0.0)
+    enc, dec = Encoder(**dd), Decoder(**dd)
+    quant = torch.nn.Conv2d(2 * v.z_channels, 2 * v.z_channels, 1)
+    post = torch.nn.Conv2d(v.z_channels, v.z_channels, 1)
+
+    from guidedvd3dgs_tpu.diffusion.convert import from_torch_module
+
+    vae_p = {}
+    for pre, mod in [("encoder.", enc), ("decoder.", dec),
+                     ("quant_conv.", quant), ("post_quant_conv.", post)]:
+        for k, w in from_torch_module(mod).items():
+            vae_p[pre + k] = w
+    unet_p = from_torch_module(m)
+    # the reference zero-inits the final conv and every transformer proj_out
+    # (zero_module); a random-init model then outputs exactly 0 (0/0 in
+    # rescale_noise_cfg) and ignores conditioning entirely — randomize them
+    # so the tiny sampler behaves like a trained model
+    key = jax.random.key(42)
+    for k in list(unet_p):
+        if k == "out.2.weight" or k.endswith("proj_out.weight"):
+            key, sub = jax.random.split(key)
+            unet_p[k] = 0.02 * jax.random.normal(sub, unet_p[k].shape)
+    return DiffusionParams(
+        unet=unet_p, vae=vae_p, resampler={}, clip_text={}, clip_image={}
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = _tiny_cfg()
+    params = _init_params(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def _cond(rng, b, t, ctx_dim, h, w):
+    k1, k2 = jax.random.split(rng)
+    return Conditioning(
+        context=jax.random.normal(k1, (b, 7, ctx_dim)),
+        concat=jax.random.normal(k2, (b, t, h, w, 4)) * 0.1,
+        fs=jnp.full((b,), 10, jnp.int32),
+    )
+
+
+def test_plain_ddim_runs_and_is_finite(tiny):
+    cfg, params = tiny
+    sched = cfg.schedule()
+    pr = S.make_ddim_params(sched, 4, eta=1.0, method="uniform_trailing")
+    b, t, h, w = 1, 2, 8, 8
+    cond = _cond(jax.random.key(1), b, t, 16, h, w)
+    uncond = cond._replace(context=jnp.zeros_like(cond.context))
+
+    def ap_c(x, ts):
+        return apply_model(params, cfg, x, ts, cond)
+
+    def ap_u(x, ts):
+        return apply_model(params, cfg, x, ts, uncond)
+
+    x_T = jax.random.normal(jax.random.key(2), (b, t, h, w, 4))
+    x0 = jax.jit(lambda xt, key: ddim_sample(sched, pr, ap_c, ap_u, xt, key))(
+        x_T, jax.random.key(3)
+    )
+    assert x0.shape == x_T.shape
+    assert bool(jnp.isfinite(x0).all())
+
+
+def test_guided_ddim_moves_toward_guidance(tiny):
+    """The guidance gradient must pull decoded frames toward the target:
+    guided samples must have strictly lower guidance loss than unguided."""
+    cfg, params = tiny
+    sched = cfg.schedule()
+    pr = S.make_ddim_params(sched, 3, eta=1.0, method="uniform_trailing")
+    b, t, h, w = 1, 2, 8, 8
+    cond = _cond(jax.random.key(1), b, t, 16, h, w)
+    uncond = cond._replace(context=jnp.zeros_like(cond.context))
+    # tiny VAE has ch_mult=(1,): no downsampling, pixels == latent res
+    target = jnp.zeros((t, h, w, 3)) + 0.25
+
+    def guidance_fn(frame, ddim_index, frame_idx):
+        diff = (frame - target[frame_idx]) ** 2
+        return 0.5 * diff.sum(), jnp.float32(diff.size)
+
+    x_T = jax.random.normal(jax.random.key(2), (b, t, h, w, 4))
+
+    def ap_c(x, ts):
+        return apply_model(params, cfg, x, ts, cond)
+
+    def ap_u(x, ts):
+        return apply_model(params, cfg, x, ts, uncond)
+
+    x0_plain = ddim_sample(sched, pr, ap_c, ap_u, x_T, jax.random.key(3))
+    x0_guided = guided_ddim_sample(
+        params, cfg, sched, pr, cond, uncond, x_T, jax.random.key(3),
+        guidance_fn, GuidedSampleConfig(rho_scale=2.0),
+    )
+    assert bool(jnp.isfinite(x0_guided).all())
+
+    def total_loss(x0):
+        frames = decode_video_frames(params, cfg, x0[0])
+        return jnp.mean((frames - target) ** 2)
+
+    lg, lp = float(total_loss(x0_guided)), float(total_loss(x0_plain))
+    assert lg < lp, f"guided loss {lg} !< plain loss {lp}"
+
+
+def test_vae_roundtrip_shapes(tiny):
+    cfg, params = tiny
+    frames = jax.random.uniform(jax.random.key(0), (2, 8, 8, 3)) * 2 - 1
+    z = encode_video_frames(params, cfg, frames, jax.random.key(1))
+    assert z.shape == (2, 8, 8, 4)
+    d = decode_video_frames(params, cfg, z)
+    assert d.shape == (2, 8, 8, 3)
+    assert bool(jnp.isfinite(d).all())
