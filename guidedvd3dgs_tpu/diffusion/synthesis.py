@@ -1,0 +1,142 @@
+"""Conditioning assembly + sampling driver (image_guided_synthesis).
+
+Equivalent of the reference driver
+(reference: third_party/ViewCrafter/utils_vc/diffusion_utils.py:111-223):
+
+  cond context  = OpenCLIP-text(prompt) ++ Resampler(OpenCLIP-image(frame0))
+  uncond context= OpenCLIP-text("")     ++ Resampler(OpenCLIP-image(zeros))
+  c_concat      = per-frame VAE latents of the point-cloud renders (both)
+
+then guided or plain DDIM sampling and per-frame VAE decode. With the
+guidedvd config (25 frames, resampler video_length 16 -> 256 image tokens)
+the context is (B, 77+256, 1024) and the UNet repeats it per frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guidedvd3dgs_tpu.diffusion import clip as clip_mod
+from guidedvd3dgs_tpu.diffusion import schedules as S
+from guidedvd3dgs_tpu.diffusion.model import (
+    Conditioning,
+    DiffusionParams,
+    LatentDiffusionConfig,
+    apply_model,
+    decode_video_frames,
+    encode_video_frames,
+)
+from guidedvd3dgs_tpu.diffusion.resampler import ResamplerConfig, resampler_apply
+from guidedvd3dgs_tpu.diffusion.samplers.ddim import ddim_sample
+from guidedvd3dgs_tpu.diffusion.samplers.ddim_guidance import (
+    GuidanceFn,
+    GuidedSampleConfig,
+    guided_ddim_sample,
+)
+from guidedvd3dgs_tpu.diffusion.tokenizer import tokenize
+
+
+@dataclass(frozen=True)
+class SynthesisConfig:
+    ddim_steps: int = 50
+    ddim_eta: float = 1.0
+    cfg_scale: float = 7.5
+    guidance_rescale: float = 0.7
+    timestep_spacing: str = "uniform_trailing"
+    fs: int = 10
+    prompt: str = "Rotating view of a scene"
+    text_config: clip_mod.TextConfig = field(default_factory=clip_mod.TextConfig)
+    vision_config: clip_mod.VisionConfig = field(default_factory=clip_mod.VisionConfig)
+    resampler_config: ResamplerConfig = field(default_factory=ResamplerConfig)
+
+
+def build_conditioning(
+    params: DiffusionParams,
+    mcfg: LatentDiffusionConfig,
+    scfg: SynthesisConfig,
+    video: jnp.ndarray,  # (T, H, W, 3) point-cloud renders in [-1, 1]
+    rng: jax.Array,
+    prompt_tokens: Optional[np.ndarray] = None,
+    condition_index: int = 0,
+):
+    """(cond, uncond) Conditioning pairs (reference diffusion_utils.py:134-174)."""
+    t = video.shape[0]
+    if prompt_tokens is None:
+        prompt_tokens = tokenize([scfg.prompt])
+    uncond_tokens = tokenize([""])
+
+    txt = clip_mod.text_encode(params.clip_text, scfg.text_config, jnp.asarray(prompt_tokens))
+    txt_uc = clip_mod.text_encode(params.clip_text, scfg.text_config, jnp.asarray(uncond_tokens))
+
+    frame0 = video[condition_index][None]  # (1, H, W, 3)
+    img_tokens = clip_mod.image_encode(params.clip_image, scfg.vision_config, frame0)
+    img_emb = resampler_apply(params.resampler, scfg.resampler_config, img_tokens)
+    img_tokens_uc = clip_mod.image_encode(
+        params.clip_image, scfg.vision_config, jnp.zeros_like(frame0)
+    )
+    img_emb_uc = resampler_apply(params.resampler, scfg.resampler_config, img_tokens_uc)
+
+    z = encode_video_frames(params, mcfg, video, rng)[None]  # (1, T, h, w, 4)
+    fs = jnp.full((1,), scfg.fs, jnp.int32)
+
+    cond = Conditioning(
+        context=jnp.concatenate([txt, img_emb], axis=1), concat=z, fs=fs
+    )
+    uncond = Conditioning(
+        context=jnp.concatenate([txt_uc, img_emb_uc], axis=1), concat=z, fs=fs
+    )
+    return cond, uncond
+
+
+def image_guided_synthesis(
+    params: DiffusionParams,
+    mcfg: LatentDiffusionConfig,
+    scfg: SynthesisConfig,
+    video: jnp.ndarray,  # (T, H, W, 3) pcd renders in [-1, 1]
+    rng: jax.Array,
+    guidance_fn: Optional[GuidanceFn] = None,
+    guided_cfg: GuidedSampleConfig = GuidedSampleConfig(),
+    scale_guidance_weight: float = 1.0,
+    prompt_tokens: Optional[np.ndarray] = None,
+) -> jnp.ndarray:
+    """Returns the generated video (T, H, W, 3) in [-1, 1]."""
+    sched = mcfg.schedule()
+    pr = S.make_ddim_params(
+        sched, scfg.ddim_steps, eta=scfg.ddim_eta, method=scfg.timestep_spacing
+    )
+    rng, ck, sk = jax.random.split(rng, 3)
+    cond, uncond = build_conditioning(params, mcfg, scfg, video, ck,
+                                      prompt_tokens=prompt_tokens)
+
+    t, h, w, _ = video.shape
+    lh, lw = cond.concat.shape[2], cond.concat.shape[3]
+    rng, nk = jax.random.split(rng)
+    x_T = jax.random.normal(nk, (1, t, lh, lw, 4), jnp.float32)
+
+    if guidance_fn is None:
+        def ap_c(x, ts):
+            return apply_model(params, mcfg, x, ts, cond)
+
+        def ap_u(x, ts):
+            return apply_model(params, mcfg, x, ts, uncond)
+
+        x0 = ddim_sample(
+            sched, pr, ap_c, ap_u, x_T, sk,
+            cfg_scale=scfg.cfg_scale, guidance_rescale=scfg.guidance_rescale,
+        )
+    else:
+        gcfg = guided_cfg._replace(
+            cfg_scale=scfg.cfg_scale, guidance_rescale=scfg.guidance_rescale
+        )
+        x0 = guided_ddim_sample(
+            params, mcfg, sched, pr, cond, uncond, x_T, sk, guidance_fn,
+            gcfg, scale_guidance_weight,
+        )
+
+    frames = decode_video_frames(params, mcfg, x0[0])
+    return frames
