@@ -45,6 +45,22 @@ def get_expon_lr_func(
     return helper
 
 
+def learning_rate_decay(
+    step, lr_init, lr_final, max_steps, lr_delay_steps=0, lr_delay_mult=1
+):
+    """mip-NeRF style log-lerp decay (reference: utils/viewcrafter_wrapper.py
+    :663-691 learning_rate_decay/log_lerp; used for the optional
+    guidance-weight warmup)."""
+    if lr_delay_steps > 0:
+        delay_rate = lr_delay_mult + (1 - lr_delay_mult) * np.sin(
+            0.5 * np.pi * np.clip(step / lr_delay_steps, 0, 1)
+        )
+    else:
+        delay_rate = 1.0
+    t = np.clip(step / max_steps, 0, 1)
+    return delay_rate * np.exp(t * (np.log(lr_final) - np.log(lr_init)) + np.log(lr_init))
+
+
 def build_rotation(q: jnp.ndarray) -> jnp.ndarray:
     """Quaternion(s) (…, 4) in (w,x,y,z) → rotation matrices (…, 3, 3),
     normalizing first (reference: utils/general_utils.py:78-98)."""
