@@ -1,0 +1,577 @@
+"""Guided 3DGS training loop (L6) — train_guidedvd equivalent.
+
+Role of reference train_guidedvd.py:48-636 with the same semantics:
+  * frozen-baseline renderer supplies guidance rgb/alpha/depth
+    (EasyRenderer, reference utils/easy_renderer.py:15-78)
+  * trajectory-pool initialization (Eq. 7): per train view x 3 center
+    scales, render a (phi, theta) candidate grid with the frozen model,
+    erode the alpha<0.7 mask, keep top-k candidates whose unobserved area is
+    below 0.1*H*W, interpolate each into a 25-pose trajectory
+    (reference train_guidedvd.py:121-298)
+  * per-iteration: train-view loss + pseudo-camera loss (L1 [+SSIM]
+    [+ w*VGG]) at weight pseudo_cam_weight, 50/50 drawn from the current vs
+    all-time stack (reference :343-381); combined densify stats (:403-416)
+  * every guidance_vd_iter iterations: a diffusion event — splat the scene
+    point cloud along a pooled trajectory, render the frozen 3DGS along it,
+    run scene-grounding guided DDIM, rebuild the pseudo stack of 24
+    PseudoCameras (frame 0 skipped, 20% promoted to the all-time stack)
+    (reference :431-636)
+
+TPU design: the 3DGS step stays the jitted/donated baseline step extended
+with the pseudo branch; the diffusion engine is pluggable (the real
+ViewCrafter-equivalent JAX stack, or a mock for tests and weightless runs) —
+the reference's two-GPU placement becomes a device/mesh choice inside the
+engine (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import copy
+import random
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, List, Optional, Protocol, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guidedvd3dgs_tpu.guidance import morphology as morph
+from guidedvd3dgs_tpu.guidance import pose_math as pm
+from guidedvd3dgs_tpu.models import gaussians as G
+from guidedvd3dgs_tpu.models.render import render_gaussians
+from guidedvd3dgs_tpu.ops.point_splat import splat_points_world
+from guidedvd3dgs_tpu.ops.projection import RasterCamera
+from guidedvd3dgs_tpu.scene.cameras import PseudoCamera, camera_from_w2c_K
+from guidedvd3dgs_tpu.train.baseline import (
+    BaselineTrainer,
+    densify_cfg,
+    densify_and_prune_jit,
+    lrs_for,
+    reset_opacity_jit,
+)
+from guidedvd3dgs_tpu.utils.losses import l1_loss, psnr, ssim
+
+
+# ----------------------------------------------------------------------------
+# frozen renderer (EasyRenderer role)
+# ----------------------------------------------------------------------------
+
+
+class FrozenRenderer:
+    """Renders a frozen Gaussian state for guidance (reference
+    utils/easy_renderer.py:15-78: loads the baseline model and returns
+    rgb/alpha/depth for an arbitrary w2c+K)."""
+
+    def __init__(self, state: G.GaussianState, sh_degree: int, bg=None, backend="auto"):
+        self.state = state
+        self.sh_degree = sh_degree
+        self.bg = jnp.asarray(bg if bg is not None else [0.0, 0.0, 0.0], jnp.float32)
+        self.backend = backend
+
+        @partial(jax.jit, static_argnames=("height", "width"))
+        def _render(state, viewmatrix, projmatrix, campos, tanfovx, tanfovy, height, width):
+            cam = RasterCamera(viewmatrix, projmatrix, campos, tanfovx, tanfovy, height, width)
+            r = render_gaussians(
+                state.params, state.active, state.confidence, cam, self.bg,
+                self.sh_degree, backend=self.backend,
+            )
+            return r.color, r.alpha, r.depth
+
+        self._render = _render
+
+    def render(self, w2c: np.ndarray, K: np.ndarray, height: int, width: int):
+        cam = camera_from_w2c_K(np.asarray(w2c), np.asarray(K), height, width)
+        rc = cam.raster_camera()
+        return self._render(
+            self.state, rc.viewmatrix, rc.projmatrix, rc.campos,
+            rc.tanfovx, rc.tanfovy, height, width,
+        )
+
+
+# ----------------------------------------------------------------------------
+# diffusion engine protocol
+# ----------------------------------------------------------------------------
+
+
+class DiffusionEngine(Protocol):
+    video_length: int
+    height: int
+    width: int
+
+    def generate(
+        self,
+        pc_renders: jnp.ndarray,  # (T, H, W, 3) in [0, 1], frame0 = real image
+        guidance_images: jnp.ndarray,  # (T, 3, Hg, Wg) in [0, 1]
+        guidance_masks: jnp.ndarray,  # (T, 1, Hg, Wg)
+        guidance_depths: jnp.ndarray,  # (T, 1, Hg, Wg)
+        rng: jax.Array,
+        no_guidance: bool = False,
+        scale_guidance_weight: float = 1.0,
+    ) -> jnp.ndarray:  # (T, 3, H, W) in [0, 1]
+        ...
+
+
+class MockDiffusionEngine:
+    """Weightless stand-in: returns the guidance renders filled with the
+    point-cloud render where the mask says 'unobserved'. Lets the full
+    guided trainer run end-to-end in tests and in environments without the
+    ViewCrafter checkpoint."""
+
+    def __init__(self, video_length=25, height=320, width=448):
+        self.video_length = video_length
+        self.height = height
+        self.width = width
+
+    def generate(self, pc_renders, guidance_images, guidance_masks,
+                 guidance_depths, rng, no_guidance=False, scale_guidance_weight=1.0):
+        t = guidance_images.shape[0]
+        pc = jax.image.resize(
+            pc_renders, (t, guidance_images.shape[2], guidance_images.shape[3], 3),
+            "bilinear",
+        )
+        pc = jnp.transpose(pc, (0, 3, 1, 2))
+        m = guidance_masks
+        return jnp.clip(guidance_images * (1 - m) + pc * m, 0.0, 1.0)
+
+
+class ViewCrafterEngine:
+    """The real engine: JAX ViewCrafter stack + guided DDIM
+    (reference utils/viewcrafter_wrapper.py:550-573 run_video_diffusion)."""
+
+    def __init__(self, params, mcfg, scfg, guided_cfg=None, video_length=25,
+                 height=320, width=448):
+        from guidedvd3dgs_tpu.diffusion.samplers.ddim_guidance import GuidedSampleConfig
+
+        self.params = params
+        self.mcfg = mcfg
+        self.scfg = scfg
+        self.guided_cfg = guided_cfg or GuidedSampleConfig()
+        self.video_length = video_length
+        self.height = height
+        self.width = width
+
+    def generate(self, pc_renders, guidance_images, guidance_masks,
+                 guidance_depths, rng, no_guidance=False, scale_guidance_weight=1.0):
+        from guidedvd3dgs_tpu.diffusion.synthesis import image_guided_synthesis
+        from guidedvd3dgs_tpu.guidance.loss_guidance import make_guidance_fn, resize_guidance
+
+        video = pc_renders * 2.0 - 1.0  # [0,1] -> [-1,1]
+        guidance_fn = None
+        if not no_guidance:
+            buffers = resize_guidance(
+                guidance_images, self.height, self.width,
+                masks=guidance_masks, depths=guidance_depths,
+            )
+            guidance_fn = make_guidance_fn(buffers)
+        frames = image_guided_synthesis(
+            self.params, self.mcfg, self.scfg, video, rng,
+            guidance_fn=guidance_fn, guided_cfg=self.guided_cfg,
+            scale_guidance_weight=scale_guidance_weight,
+        )
+        return jnp.transpose(jnp.clip((frames + 1.0) / 2.0, 0.0, 1.0), (0, 3, 1, 2))
+
+
+# ----------------------------------------------------------------------------
+# trajectory pool
+# ----------------------------------------------------------------------------
+
+
+@dataclass
+class TrajEntry:
+    cand_idx: int
+    traj_c2ws: np.ndarray  # (T, 4, 4) world frame
+    center_scale: float
+    scale_idx: int
+    obj_c2w: np.ndarray  # (1, 4, 4) source pose in object frame
+    transform_back: np.ndarray  # (4, 4)
+
+
+def build_trajectory_pool(
+    frozen: FrozenRenderer,
+    train_c2ws: np.ndarray,  # (V, 4, 4)
+    intrinsic: np.ndarray,  # (3, 3) at guidance res
+    center_depths: np.ndarray,  # (V,) depth at the center pixel per view
+    height: int,
+    width: int,
+    center_scale: float = 1.0,
+    elevation: float = 5.0,
+    video_length: int = 25,
+) -> Dict[int, List[TrajEntry]]:
+    """Eq. 7 trajectory pool (reference train_guidedvd.py:121-298): per view,
+    3 radius scales x (5 phi x 4-5 theta) candidates; keep (3, 2, 1) best."""
+    d_phi = [-30, -15, 0, 15, 30]
+    d_theta = [-30, -15, 0, 15, 30] if center_scale != 1 else [-15, -7.5, 0, 7.5]
+    mask_thresh = 0.1 * height * width
+    scales = [
+        (center_scale, 3, 1),
+        (center_scale / 3.0, 2, 2),
+        (center_scale / 10.0, 1, 3),
+    ]
+
+    pool: Dict[int, List[TrajEntry]] = {}
+    for v in range(train_c2ws.shape[0]):
+        pool[v] = []
+        for cs, top_k, scale_idx in scales:
+            radius = float(center_depths[v]) * cs
+            obj_poses, _, back = pm.world_to_obj(
+                train_c2ws[v][None], None, k=-1, r=radius, elevation_deg=elevation
+            )
+            cands, offsets = pm.candidate_pose_grid(obj_poses, back, d_phi, d_theta)
+
+            areas = []
+            for i in range(cands.shape[0]):
+                w2c = np.linalg.inv(cands[i])
+                _, alpha, _ = frozen.render(w2c, intrinsic, height, width)
+                unobs = (np.asarray(alpha) < 0.7).astype(np.float32)
+                unobs = np.asarray(morph.erode(jnp.asarray(unobs), 5))
+                areas.append(unobs.sum())
+            areas = np.asarray(areas)
+            ok = np.nonzero(areas < mask_thresh)[0]
+            order = np.argsort(-areas[ok])[:top_k]
+            for j in ok[order]:
+                ph, th, dr = offsets[j]
+                traj = pm.interpolate_trajectory(obj_poses, ph, th, dr, frames=video_length)
+                traj = back[None] @ traj
+                pool[v].append(TrajEntry(int(j), traj, cs, scale_idx, obj_poses, back))
+    return pool
+
+
+# ----------------------------------------------------------------------------
+# jitted guided train step
+# ----------------------------------------------------------------------------
+
+
+def make_guided_train_step(
+    vgg_loss_fn: Optional[Callable] = None,
+    pseudo_cam_lpips_weight: float = 0.1,
+):
+    """Build the jitted guided step. `vgg_loss_fn(x, y)` (both (1,3,H,W) in
+    [0,1]) joins the pseudo loss at `pseudo_cam_lpips_weight` when provided —
+    the reference's pseudo_cam_lpips term (train_guidedvd.py:368-371)."""
+
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "sh_degree", "lambda_dssim", "use_confidence", "backend",
+            "pseudo_ssim", "apply_adam", "update_stats", "has_pseudo",
+        ),
+        donate_argnames=("state",),
+    )
+    def train_step_guided(
+        state: G.GaussianState,
+        cam: RasterCamera,
+        gt_image: jnp.ndarray,
+        pseudo_cam: Optional[RasterCamera],
+        pseudo_gt: Optional[jnp.ndarray],
+        pseudo_weight: jnp.ndarray,
+        bg: jnp.ndarray,
+        lrs: G.LearningRates,
+        sh_degree: int,
+        lambda_dssim: float,
+        use_confidence: bool = False,
+        backend: str = "auto",
+        pseudo_ssim: bool = False,
+        apply_adam: bool = True,
+        update_stats: bool = True,
+        has_pseudo: bool = True,
+    ):
+        """Combined train-view + pseudo-view step (reference
+        train_guidedvd.py:330-416)."""
+        offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
+
+        def loss_fn(params, offset, offset_p):
+            r = render_gaussians(
+                params, state.active, state.confidence, cam, bg, sh_degree,
+                means2d_offset=offset, use_confidence=use_confidence, backend=backend,
+            )
+            ll1 = l1_loss(r.color, gt_image)
+            loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(r.color, gt_image))
+            if has_pseudo:
+                rp = render_gaussians(
+                    params, state.active, state.confidence, pseudo_cam, bg, sh_degree,
+                    means2d_offset=offset_p, use_confidence=use_confidence, backend=backend,
+                )
+                pl1 = l1_loss(rp.color, pseudo_gt)
+                if pseudo_ssim:
+                    ploss = (1.0 - lambda_dssim) * pl1 + lambda_dssim * (
+                        1.0 - ssim(rp.color, pseudo_gt)
+                    )
+                else:
+                    ploss = pl1
+                if vgg_loss_fn is not None:
+                    ploss = ploss + pseudo_cam_lpips_weight * vgg_loss_fn(
+                        jnp.clip(rp.color, 0, 1)[None], jnp.clip(pseudo_gt, 0, 1)[None]
+                    )
+                loss = loss + pseudo_weight * ploss
+                aux = (r, rp, ll1, pl1)
+            else:
+                aux = (r, None, ll1, jnp.float32(0.0))
+            return loss, aux
+
+        (loss, (r, rp, ll1, pl1)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(state.params, offset0, offset0)
+        gparams, goffset, goffset_p = grads
+
+        if update_stats:
+            state = G.update_max_radii(state, r.radii, r.visibility_filter)
+            if has_pseudo:
+                state = G.update_max_radii(state, rp.radii, rp.visibility_filter)
+                state = G.add_densification_stats_with_novel_pose(
+                    state, goffset, r.visibility_filter, goffset_p, rp.visibility_filter
+                )
+            else:
+                state = G.add_densification_stats(state, goffset, r.visibility_filter)
+        if apply_adam:
+            state = G.adam_step(state, gparams, lrs)
+
+        metrics = {
+            "loss": loss, "l1": ll1, "pseudo_l1": pl1,
+            "psnr": psnr(r.color, gt_image)[0, 0],
+        }
+        return state, metrics
+
+    return train_step_guided
+
+
+# ----------------------------------------------------------------------------
+# trainer
+# ----------------------------------------------------------------------------
+
+
+class GuidedTrainer(BaselineTrainer):
+    """train_guidedvd.py:48-636 semantics around the jitted guided step."""
+
+    def __init__(
+        self,
+        scene,
+        state: G.GaussianState,
+        opt,
+        pipe,
+        model_params,
+        frozen: FrozenRenderer,
+        engine: DiffusionEngine,
+        pcd_points: np.ndarray,  # scene point cloud for pc renders
+        pcd_colors: np.ndarray,
+        guidance_intrinsic: np.ndarray,  # (3, 3) at train res
+        background=None,
+        vgg_loss_fn: Optional[Callable] = None,
+        seed: int = 1,
+        elevation: float = 5.0,
+    ):
+        super().__init__(scene, state, opt, pipe, model_params, background)
+        self.frozen = frozen
+        self.engine = engine
+        self.pcd_points = jnp.asarray(pcd_points, jnp.float32)
+        self.pcd_colors = jnp.asarray(pcd_colors, jnp.float32)
+        self.intrinsic = np.asarray(guidance_intrinsic)
+        self.vgg_loss_fn = vgg_loss_fn
+        self.elevation = elevation
+        self.rng_np = np.random.default_rng(seed)
+        self.jrng = jax.random.key(seed)
+
+        self.train_cams = list(scene.getTrainCameras())
+        self.H = self.train_cams[0].image_height
+        self.W = self.train_cams[0].image_width
+
+        # guided runs keep SH degree fixed at max (reference :327-329
+        # comments out oneupSHdegree and loads the baseline's full SH state)
+        self.active_sh_degree = self.max_sh_degree
+
+        self.pseudo_stack: List[PseudoCamera] = []
+        self.pseudo_stack_alltime: List[PseudoCamera] = []
+        self.trajectory_pool: Dict[int, List[TrajEntry]] = {}
+        self.trajectory_pool_shuffle: Dict[int, List[TrajEntry]] = {}
+        self.vd_indices: List[int] = []
+        self.events_run = 0
+        self._step_fn = make_guided_train_step(
+            vgg_loss_fn=vgg_loss_fn,
+            pseudo_cam_lpips_weight=getattr(opt, "pseudo_cam_lpips_weight", 0.1),
+        )
+
+    # -- setup ---------------------------------------------------------------
+
+    def init_trajectory_pool(self):
+        c2ws = []
+        depths = []
+        for cam in self.train_cams:
+            rc = cam.raster_camera()
+            w2c = np.asarray(rc.viewmatrix).T  # stored transposed
+            c2w = np.linalg.inv(w2c)
+            c2ws.append(c2w)
+            _, _, depth = self.frozen.render(w2c, self.intrinsic, self.H, self.W)
+            depths.append(float(depth[self.H // 2, self.W // 2]))
+        self.train_c2ws = np.stack(c2ws)
+        self.trajectory_pool = build_trajectory_pool(
+            self.frozen, self.train_c2ws, self.intrinsic, np.asarray(depths),
+            self.H, self.W,
+            center_scale=self.opt.guidance_vc_center_scale,
+            elevation=self.elevation,
+            video_length=self.engine.video_length,
+        )
+        self.trajectory_pool_shuffle = {
+            k: self._shuffled(v) for k, v in self.trajectory_pool.items()
+        }
+
+    def _shuffled(self, entries):
+        out = list(entries)
+        self.rng_np.shuffle(out)
+        return out
+
+    def _next_view(self) -> int:
+        if not self.vd_indices:
+            idx = np.arange(len(self.train_cams))
+            self.rng_np.shuffle(idx)
+            self.vd_indices = idx.tolist()
+        return self.vd_indices.pop()
+
+    # -- diffusion event -------------------------------------------------------
+
+    def pc_render_along(self, traj_c2ws: np.ndarray, view_idx: int) -> jnp.ndarray:
+        """Splat the scene point cloud along the trajectory; frame 0 replaced
+        by the real training image (reference viewcrafter_wrapper.py:469-548)."""
+        frames = []
+        for i in range(traj_c2ws.shape[0]):
+            w2c = np.linalg.inv(traj_c2ws[i])
+            out = splat_points_world(
+                self.pcd_points, self.pcd_colors, jnp.asarray(w2c, jnp.float32),
+                jnp.asarray(self.intrinsic, jnp.float32), self.H, self.W,
+            )
+            frames.append(out.image)
+        frames = jnp.stack(frames)  # (T, H, W, 3)
+        real = jnp.transpose(jnp.asarray(self.train_cams[view_idx].image), (1, 2, 0))
+        return frames.at[0].set(real)
+
+    def run_diffusion_event(self, iteration: int):
+        """reference train_guidedvd.py:431-636."""
+        view = self._next_view()
+        if not self.trajectory_pool_shuffle.get(view):
+            self.trajectory_pool_shuffle[view] = self._shuffled(self.trajectory_pool[view])
+        if not self.trajectory_pool_shuffle[view]:
+            return  # no valid trajectory for this view
+        entry = self.trajectory_pool_shuffle[view].pop()
+        traj = entry.traj_c2ws
+
+        pc_renders = self.pc_render_along(traj, view)
+
+        rgbs, alphas, depths = [], [], []
+        for i in range(traj.shape[0]):
+            w2c = np.linalg.inv(traj[i])
+            rgb, alpha, depth = self.frozen.render(w2c, self.intrinsic, self.H, self.W)
+            rgbs.append(jnp.clip(rgb, 0, 1))
+            alphas.append(jnp.clip(alpha, 0, 1))
+            depths.append(depth)
+        gs_rgb = jnp.stack(rgbs)  # (T, 3, H, W)
+        gs_alpha = (jnp.stack(alphas) < 0.9).astype(jnp.float32)[:, None]  # (T,1,H,W)
+        gs_depth = jnp.stack(depths)[:, None]
+
+        self.jrng, k = jax.random.split(self.jrng)
+        sw = 1.0
+        video = self.engine.generate(
+            pc_renders, gs_rgb, 1.0 - gs_alpha, gs_depth, k,
+            no_guidance=getattr(self.opt, "no_guidance", False),
+            scale_guidance_weight=sw,
+        )  # (T, 3, H, W) [0, 1]
+        video = np.asarray(video)
+
+        fovx = self.train_cams[view].FoVx
+        fovy = self.train_cams[view].FoVy
+        self.pseudo_stack = []
+        for i in range(traj.shape[0]):
+            if i == 0:
+                continue  # skip the conditioning frame (reference :621-622)
+            w2c = np.linalg.inv(traj[i])
+            cam = PseudoCamera(
+                R=w2c[:3, :3].T, T=w2c[:3, 3], FoVx=fovx, FoVy=fovy,
+                width=self.W, height=self.H,
+                pseudo_gt=video[i], mask=np.asarray(gs_alpha[i]),
+            )
+            self.pseudo_stack.append(cam)
+            if self.rng_np.random() > 0.8:  # 20% promoted (reference :633)
+                self.pseudo_stack_alltime.append(cam)
+        self.events_run += 1
+
+    # -- per-iteration step ----------------------------------------------------
+
+    def _pick_pseudo(self, iteration: int) -> Optional[PseudoCamera]:
+        opt = self.opt
+        if iteration % opt.sample_pseudo_interval != 0:
+            return None
+        if not (opt.start_sample_pseudo < iteration < opt.end_sample_pseudo):
+            return None
+        if not self.pseudo_stack and not self.pseudo_stack_alltime:
+            return None
+        if self.rng_np.random() > 0.5 and self.pseudo_stack_alltime:
+            stack = self.pseudo_stack_alltime
+        else:
+            stack = self.pseudo_stack or self.pseudo_stack_alltime
+        return stack[self.rng_np.integers(0, len(stack))]
+
+    def _pseudo_weight(self, iteration: int) -> float:
+        opt = self.opt
+        w = opt.pseudo_cam_weight
+        if getattr(opt, "pseudo_cam_weight_decay", False):
+            interval = max(opt.guidance_vd_iter, 1)
+            frac = np.clip((iteration % interval) / interval, 0, 1)
+            w = opt.pseudo_cam_weight_start * (1 - frac) + frac * opt.pseudo_cam_weight_end
+        return float(w)
+
+    def step(self, iteration: int):
+        opt = self.opt
+        cam = self.pick_camera()
+        rc = cam.raster_camera()
+        gt = jnp.asarray(cam.image)
+
+        pseudo = self._pick_pseudo(iteration)
+        do_densify = (
+            iteration < opt.densify_until_iter
+            and iteration > opt.densify_from_iter
+            and iteration % opt.densification_interval == 0
+        )
+        apply_adam = (iteration < opt.iterations) and not do_densify
+        update_stats = iteration < opt.densify_until_iter
+
+        if pseudo is not None:
+            prc = pseudo.raster_camera()
+            pgt = jnp.asarray(pseudo.pseudo_gt)
+            self.state, metrics = self._step_fn(
+                self.state, rc, gt, prc, pgt,
+                jnp.float32(self._pseudo_weight(iteration)),
+                self.bg, lrs_for(opt, self.xyz_lr),
+                sh_degree=self.active_sh_degree,
+                lambda_dssim=opt.lambda_dssim,
+                use_confidence=getattr(self.pipe, "use_confidence", False),
+                backend=self.backend,
+                pseudo_ssim=getattr(opt, "pseudo_cam_ssim", False),
+                apply_adam=apply_adam, update_stats=update_stats,
+                has_pseudo=True,
+            )
+        else:
+            self.state, metrics = self._step_fn(
+                self.state, rc, gt, None, None, jnp.float32(0.0),
+                self.bg, lrs_for(opt, self.xyz_lr),
+                sh_degree=self.active_sh_degree,
+                lambda_dssim=opt.lambda_dssim,
+                use_confidence=getattr(self.pipe, "use_confidence", False),
+                backend=self.backend,
+                apply_adam=apply_adam, update_stats=update_stats,
+                has_pseudo=False,
+            )
+
+        if do_densify:
+            cfg = densify_cfg(opt, self.scene.cameras_extent, iteration)
+            self.state = densify_and_prune_jit(self.state, jax.random.key(iteration), cfg)
+            self.maybe_grow()
+
+        self.xyz_lr = self.xyz_sched(iteration)
+        if iteration % opt.opacity_reset_interval == 0:
+            self.state = reset_opacity_jit(self.state)
+
+        # diffusion event (reference :431: (iteration-1) % guidance_vd_iter)
+        if (iteration - 1) % opt.guidance_vd_iter == 0 and iteration < opt.end_sample_pseudo:
+            self.run_diffusion_event(iteration)
+
+        loss = float(metrics["loss"])
+        self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+        return metrics

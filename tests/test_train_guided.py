@@ -1,0 +1,109 @@
+"""End-to-end guided training on a synthetic scene with the mock diffusion
+engine: trajectory pool builds, diffusion events fire, pseudo cameras feed
+the loss, PSNR improves."""
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from guidedvd3dgs_tpu.models import gaussians as G
+from guidedvd3dgs_tpu.train.guided import (
+    FrozenRenderer,
+    GuidedTrainer,
+    MockDiffusionEngine,
+    build_trajectory_pool,
+)
+
+from helpers import make_camera, random_gaussians, activated
+from test_train_baseline import FakeModelParams, FakeOpt, FakePipe, FakeScene, make_synthetic
+
+
+@dataclasses.dataclass
+class GuidedOpt(FakeOpt):
+    iterations: int = 120
+    start_sample_pseudo: int = 10
+    end_sample_pseudo: int = 110
+    sample_pseudo_interval: int = 1
+    pseudo_cam_weight: float = 0.05
+    pseudo_cam_ssim: bool = False
+    pseudo_cam_lpips: bool = False
+    pseudo_cam_weight_decay: bool = False
+    guidance_vd_iter: int = 40
+    guidance_vc_center_scale: float = 1.0
+    no_guidance: bool = False
+    densify_from_iter: int = 1000  # keep densify off for the tiny run
+    densify_until_iter: int = 0
+
+
+def _intrinsic(cam):
+    fx = cam.image_width / (2.0 * math.tan(cam.FoVx / 2.0))
+    fy = cam.image_height / (2.0 * math.tan(cam.FoVy / 2.0))
+    return np.array(
+        [[fx, 0, cam.image_width / 2.0], [0, fy, cam.image_height / 2.0], [0, 0, 1]]
+    )
+
+
+def _setup():
+    cams = make_synthetic()
+    rng = np.random.default_rng(7)
+    pts = rng.normal(scale=1.2, size=(96, 3)).astype(np.float32)
+    cols = rng.uniform(size=(96, 3)).astype(np.float32)
+    state = G.create_from_pcd(pts, cols, capacity=256)
+
+    # frozen "baseline": the ground-truth gaussians themselves
+    gt_parts = activated(*random_gaussians(n=80, seed=42))
+    gt_state = G.create_from_pcd(np.asarray(gt_parts[0]), np.ones((80, 3)) * 0.5,
+                                 capacity=128)
+    frozen = FrozenRenderer(gt_state, sh_degree=0, backend="dense")
+
+    scene = FakeScene(cams, extent=3.0)
+    engine = MockDiffusionEngine(video_length=5, height=40, width=40)
+    trainer = GuidedTrainer(
+        scene, state, GuidedOpt(), FakePipe(), FakeModelParams(),
+        frozen=frozen, engine=engine,
+        pcd_points=pts, pcd_colors=cols,
+        guidance_intrinsic=_intrinsic(cams[0]),
+    )
+    return trainer, cams
+
+
+def test_trajectory_pool_builds():
+    trainer, cams = _setup()
+    trainer.init_trajectory_pool()
+    assert set(trainer.trajectory_pool.keys()) == {0, 1, 2}
+    for v, entries in trainer.trajectory_pool.items():
+        assert len(entries) <= 6  # 3 + 2 + 1 max
+        for e in entries:
+            assert e.traj_c2ws.shape == (5, 4, 4)
+            # trajectory starts at the training view
+            np.testing.assert_allclose(
+                e.traj_c2ws[0], trainer.train_c2ws[v], atol=1e-6
+            )
+
+
+def test_guided_training_runs_and_improves():
+    trainer, cams = _setup()
+    trainer.init_trajectory_pool()
+    first = trainer.evaluate(cams)
+    for it in range(1, 121):
+        m = trainer.step(it)
+    last = trainer.evaluate(cams)
+
+    assert trainer.events_run >= 3, trainer.events_run
+    assert len(trainer.pseudo_stack) == 4  # video_length - 1
+    assert np.isfinite(float(m["loss"]))
+    assert last["psnr"] > first["psnr"] + 2.0, (first, last)
+
+
+def test_pseudo_branch_contributes():
+    trainer, cams = _setup()
+    trainer.init_trajectory_pool()
+    # run one event to fill the stack, then check pseudo_l1 is reported
+    trainer.run_diffusion_event(1)
+    assert trainer.pseudo_stack
+    m = None
+    for it in range(11, 16):
+        m = trainer.step(it)
+    assert float(m["pseudo_l1"]) > 0.0
