@@ -169,18 +169,23 @@ def _fwd_kernel(
         accA = accA + jnp.sum(w, axis=0, keepdims=True)
         return (c + 1, q["T_out"], q["done_out"], accC, accD, accA)
 
-    # concrete-layout inits: broadcast constants carry a replicated Mosaic
-    # layout ({*,0}) that mismatches the loop body's concrete {0,0} layout
-    # and fails scf.yield legalization on real TPU — derive from an iota
-    ilin = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIX), 1)
-    zlin = jnp.where(ilin < 0, 1.0, 0.0)  # all-zero f32 with concrete layout
+    # carry layouts must be loop-invariant on real TPU (Mosaic scf.yield
+    # legalization): T/done are produced by sublane REDUCTIONS in the body
+    # (replicated {*,0} layout — match with broadcast constants), while the
+    # accumulators are MXU dot outputs (concrete {0,0} layout — match by
+    # initializing them THROUGH a dot)
+    z8 = jnp.zeros((8, TILE_PIX), jnp.float32)
+    accC0 = jax.lax.dot(jnp.zeros((3, 8), jnp.float32), z8,
+                        preferred_element_type=jnp.float32)
+    accD0 = jax.lax.dot(jnp.zeros((1, 8), jnp.float32), z8,
+                        preferred_element_type=jnp.float32)
     init = (
         jnp.int32(0),
-        1.0 + zlin,
-        zlin > 1.0,
-        jnp.zeros((3, TILE_PIX), jnp.float32) + zlin,
-        zlin,
-        zlin,
+        jnp.ones((1, TILE_PIX), jnp.float32),
+        jnp.zeros((1, TILE_PIX), bool),
+        accC0,
+        accD0,
+        accD0,
     )
     _, T, _, accC, accD, accA = jax.lax.while_loop(cond, body, init)
 
@@ -334,13 +339,13 @@ def _bwd_kernel(
 
         return (c + 1, q["T_out"], q["done_out"], prefix + jnp.sum(wu, axis=0, keepdims=True))
 
-    ilin = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIX), 1)
-    zlin = jnp.where(ilin < 0, 1.0, 0.0)  # all-zero f32 with concrete layout
+    # T/done/prefix are reduction-produced in the body (replicated sublane
+    # layout) — broadcast-constant inits match (see the fwd layout note)
     init = (
         jnp.int32(0),
-        1.0 + zlin,
-        zlin > 1.0,
-        zlin,
+        jnp.ones((1, TILE_PIX), jnp.float32),
+        jnp.zeros((1, TILE_PIX), bool),
+        jnp.zeros((1, TILE_PIX), jnp.float32),
     )
     jax.lax.while_loop(cond, body, init)
 

