@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark: Pallas tile rasterizer fwd+bwd at 1M splats, 320x448.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference ships no kernel-level numbers (SURVEY.md §6) — the north-star
+kernel metric is established here and tracked round-over-round; vs_baseline
+is computed against the INRIA CUDA rasterizer's typical ~25 ms fwd+bwd at
+1M visible splats on V100-class hardware (the hardware the reference's 3-4 h
+wall-clock is quoted on), i.e. vs_baseline = 25 / value.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+N = 1_000_000
+H, W = 320, 448
+REFERENCE_MS = 25.0  # V100 CUDA rasterizer ballpark at this load
+
+
+def make_inputs():
+    rng = np.random.default_rng(0)
+    means = rng.uniform(-1, 1, (N, 3)).astype(np.float32)
+    means[:, 2] += 3.0
+    scales = np.exp(rng.uniform(-6.5, -4.5, (N, 3))).astype(np.float32)
+    rots = rng.normal(size=(N, 4)).astype(np.float32)
+    rots /= np.linalg.norm(rots, axis=1, keepdims=True)
+    opac = (1 / (1 + np.exp(-rng.normal(size=(N, 1))))).astype(np.float32)
+    shs = (rng.normal(size=(N, 16, 3)) * 0.3).astype(np.float32)
+    return tuple(map(jnp.asarray, (means, scales, rots, opac, shs)))
+
+
+def make_camera():
+    from guidedvd3dgs_tpu.ops.projection import RasterCamera
+    from guidedvd3dgs_tpu.utils.graphics import getProjectionMatrix, getWorld2View2
+
+    fov = math.radians(60)
+    view = np.asarray(getWorld2View2(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))).T
+    proj = np.asarray(getProjectionMatrix(0.01, 100.0, fov, fov)).T
+    return RasterCamera(
+        jnp.asarray(view), jnp.asarray(view @ proj),
+        jnp.asarray(np.linalg.inv(view.T)[:3, 3]),
+        math.tan(fov / 2), math.tan(fov / 2), H, W,
+    )
+
+
+def bench_fwd_bwd():
+    from guidedvd3dgs_tpu.ops.raster_tiles import rasterize_tiles
+
+    cam = make_camera()
+    bg = jnp.zeros((3,), jnp.float32)
+    args = make_inputs()
+
+    def loss(m, s, r, o, sh):
+        out = rasterize_tiles(m, s, r, o, sh, cam, bg, sh_degree=3)
+        return out.color.sum() + 0.1 * out.depth.sum() + 0.1 * out.alpha.sum()
+
+    g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4)))
+    out = g(*args)
+    jax.block_until_ready(out)  # compile + warm
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = g(*args)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / iters * 1000.0
+    finite = all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(out[1]))
+    if not finite:
+        raise RuntimeError("non-finite gradients in bench")
+    return ms
+
+
+def main():
+    try:
+        ms = bench_fwd_bwd()
+        print(json.dumps({
+            "metric": "raster_fwd_bwd_ms_1m_splats_320x448",
+            "value": round(ms, 3),
+            "unit": "ms",
+            "vs_baseline": round(REFERENCE_MS / ms, 3),
+        }))
+    except Exception as e:  # never leave the driver without a JSON line
+        sys.stderr.write(f"bench failed: {type(e).__name__}: {e}\n")
+        print(json.dumps({
+            "metric": "raster_fwd_bwd_ms_1m_splats_320x448",
+            "value": -1.0,
+            "unit": "ms",
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()

@@ -148,16 +148,35 @@ def interpolate_trajectory_loopclosure(
     )
 
 
+# preset trajectory control points (phi / theta / r lines, DATA fixtures from
+# the reference release: third_party/ViewCrafter/test/trajs/*.txt)
+TRAJ_PRESETS = {
+    "loop1": ([0, -3, -15, -20, -17, -5, 0], [0, -2, -5, -10, -8, -5, 0, 2, 5, 3, 0], [0, 0]),
+    "loop2": ([0, 3, 10, 20, 17, 10, 0], [0, -2, -8, -6, 0, 2, 5, 3, 0],
+              [0, -0.02, -0.09, -0.16, -0.09, 0]),
+    "wave1": ([0, 30], [0, -1, -2, -1, 0, 3, 0, -3, 0, 1, 2], [0, 0]),
+    "left": ([0, -40], [0, 0], [0.0, -0.2]),
+    "zoomin1": ([0, 0], [0, 0], [0.0, -0.3]),
+}
+
+
 def traj_from_txt(
     c2w_obj: np.ndarray, phis: Sequence[float], thetas: Sequence[float],
     rs: Sequence[float], frames: int = 25,
 ) -> np.ndarray:
     """Preset txt trajectory (3 lines: phi/theta/r lists; e.g. loop2.txt),
-    splined to `frames` poses (reference pvd_utils.py generate_traj_txt
-    semantics; data: third_party/ViewCrafter/test/trajs/*.txt)."""
-    phs = txt_interpolation(phis, frames, "smooth" if len(phis) > 3 else "linear")
-    ths = txt_interpolation(thetas, frames, "smooth" if len(thetas) > 3 else "linear")
-    rr = txt_interpolation(rs, frames, "smooth" if len(rs) > 3 else "linear")
+    splined to `frames` poses with pinned endpoints (reference
+    pvd_utils.py:235-285 generate_traj_txt_my)."""
+
+    def interp(vals):
+        if len(vals) > 3:
+            out = txt_interpolation(vals, frames, "smooth")
+            out[0], out[-1] = vals[0], vals[-1]
+        else:
+            out = txt_interpolation(vals, frames, "linear")
+        return out
+
+    phs, ths, rr = interp(list(phis)), interp(list(thetas)), interp(list(rs))
     rr = rr * c2w_obj[0, 2, 3]
     return np.concatenate(
         [sphere2pose(c2w_obj, float(t), float(p), float(r)) for t, p, r in zip(ths, phs, rr)],

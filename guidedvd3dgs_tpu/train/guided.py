@@ -359,6 +359,8 @@ class GuidedTrainer(BaselineTrainer):
         vgg_loss_fn: Optional[Callable] = None,
         seed: int = 1,
         elevation: float = 5.0,
+        frozen_mask: Optional[FrozenRenderer] = None,
+        hybrid_traj: bool = False,
     ):
         super().__init__(scene, state, opt, pipe, model_params, background)
         self.frozen = frozen
@@ -385,6 +387,15 @@ class GuidedTrainer(BaselineTrainer):
         self.trajectory_pool_shuffle: Dict[int, List[TrajEntry]] = {}
         self.vd_indices: List[int] = []
         self.events_run = 0
+        # two-renderer variant: a second frozen model decides the guidance
+        # MASK while `frozen` provides rgb/depth
+        # (reference train_replica_guidedvd_tworenderer.py:60-74, :523-524)
+        self.frozen_mask = frozen_mask
+        # hybrid-traj variant: the first epoch of diffusion events uses the
+        # fixed loop2 txt trajectory, then switches to the pool
+        # (reference train_scannetpp_guidedvd_hybrid_traj.py:318, :455-493)
+        self.hybrid_traj = hybrid_traj
+        self.txt_traj_warmup = hybrid_traj
         self._step_fn = make_guided_train_step(
             vgg_loss_fn=vgg_loss_fn,
             pseudo_cam_lpips_weight=getattr(opt, "pseudo_cam_lpips_weight", 0.1),
@@ -403,8 +414,12 @@ class GuidedTrainer(BaselineTrainer):
             _, _, depth = self.frozen.render(w2c, self.intrinsic, self.H, self.W)
             depths.append(float(depth[self.H // 2, self.W // 2]))
         self.train_c2ws = np.stack(c2ws)
+        self.center_depths = np.asarray(depths)
         self.trajectory_pool = build_trajectory_pool(
-            self.frozen, self.train_c2ws, self.intrinsic, np.asarray(depths),
+            # the two-renderer variant selects candidates with the MASK
+            # renderer (reference tworenderer diff at :161/:211/:260)
+            self.frozen_mask or self.frozen,
+            self.train_c2ws, self.intrinsic, np.asarray(depths),
             self.H, self.W,
             center_scale=self.opt.guidance_vc_center_scale,
             elevation=self.elevation,
@@ -424,7 +439,25 @@ class GuidedTrainer(BaselineTrainer):
             idx = np.arange(len(self.train_cams))
             self.rng_np.shuffle(idx)
             self.vd_indices = idx.tolist()
+            if self.events_run > 0:
+                # hybrid-traj warmup covers exactly the first epoch of views
+                # (reference hybrid_traj :463-468)
+                self.txt_traj_warmup = False
         return self.vd_indices.pop()
+
+    def _txt_trajectory(self, view: int, preset: str = "loop2") -> np.ndarray:
+        """Fixed txt trajectory anchored at the view (reference
+        viewcrafter_wrapper.py:469-548 txt path + pvd_utils loop2 preset)."""
+        cs = self.opt.guidance_vc_center_scale
+        radius = float(self.center_depths[view]) * cs
+        obj_poses, _, back = pm.world_to_obj(
+            self.train_c2ws[view][None], None, k=-1, r=radius,
+            elevation_deg=self.elevation,
+        )
+        phis, thetas, rs = pm.TRAJ_PRESETS[preset]
+        traj = pm.traj_from_txt(obj_poses, phis, thetas, rs,
+                                frames=self.engine.video_length)
+        return back[None] @ traj
 
     # -- diffusion event -------------------------------------------------------
 
@@ -446,12 +479,25 @@ class GuidedTrainer(BaselineTrainer):
     def run_diffusion_event(self, iteration: int):
         """reference train_guidedvd.py:431-636."""
         view = self._next_view()
-        if not self.trajectory_pool_shuffle.get(view):
-            self.trajectory_pool_shuffle[view] = self._shuffled(self.trajectory_pool[view])
-        if not self.trajectory_pool_shuffle[view]:
-            return  # no valid trajectory for this view
-        entry = self.trajectory_pool_shuffle[view].pop()
-        traj = entry.traj_c2ws
+        if self.txt_traj_warmup:
+            traj = self._txt_trajectory(view)
+        elif getattr(self.opt, "guidance_random_traj", False) and not getattr(
+            self.opt, "use_trajectory_pool", True
+        ):
+            # random preset trajectory mode (reference :434-452)
+            r = self.rng_np.random()
+            if getattr(self.opt, "guidance_no_wave_traj", False):
+                preset = "loop2" if r < 0.5 else "loop1"
+            else:
+                preset = "loop2" if r < 0.33 else ("loop1" if r < 0.66 else "wave1")
+            traj = self._txt_trajectory(view, preset)
+        else:
+            if not self.trajectory_pool_shuffle.get(view):
+                self.trajectory_pool_shuffle[view] = self._shuffled(self.trajectory_pool[view])
+            if not self.trajectory_pool_shuffle[view]:
+                return  # no valid trajectory for this view
+            entry = self.trajectory_pool_shuffle[view].pop()
+            traj = entry.traj_c2ws
 
         pc_renders = self.pc_render_along(traj, view)
 
@@ -459,6 +505,9 @@ class GuidedTrainer(BaselineTrainer):
         for i in range(traj.shape[0]):
             w2c = np.linalg.inv(traj[i])
             rgb, alpha, depth = self.frozen.render(w2c, self.intrinsic, self.H, self.W)
+            if self.frozen_mask is not None:
+                # two-renderer variant: mask alpha from the second model
+                _, alpha, _ = self.frozen_mask.render(w2c, self.intrinsic, self.H, self.W)
             rgbs.append(jnp.clip(rgb, 0, 1))
             alphas.append(jnp.clip(alpha, 0, 1))
             depths.append(depth)
