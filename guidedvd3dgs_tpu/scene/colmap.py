@@ -160,7 +160,11 @@ def read_cameras_text(path: str) -> Dict[int, ColmapCamera]:
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
     images = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f if ln.strip() and not ln.strip().startswith("#")]
+        # keep EMPTY lines: the points2D line of an image with no registered
+        # points is blank (e.g. the dataset_to_colmap converters write it so)
+        lines = [ln.strip() for ln in f if not ln.strip().startswith("#")]
+    while lines and not lines[-1]:
+        lines.pop()
     for i in range(0, len(lines), 2):
         parts = lines[i].split()
         image_id = int(parts[0])

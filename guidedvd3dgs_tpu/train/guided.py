@@ -361,6 +361,7 @@ class GuidedTrainer(BaselineTrainer):
         elevation: float = 5.0,
         frozen_mask: Optional[FrozenRenderer] = None,
         hybrid_traj: bool = False,
+        depth_estimator: Optional[Callable] = None,
     ):
         super().__init__(scene, state, opt, pipe, model_params, background)
         self.frozen = frozen
@@ -396,6 +397,9 @@ class GuidedTrainer(BaselineTrainer):
         # (reference train_scannetpp_guidedvd_hybrid_traj.py:318, :455-493)
         self.hybrid_traj = hybrid_traj
         self.txt_traj_warmup = hybrid_traj
+        # optional monocular-depth point appending
+        # (reference train_guidedvd.py:569-612, default off)
+        self.depth_estimator = depth_estimator
         self._step_fn = make_guided_train_step(
             vgg_loss_fn=vgg_loss_fn,
             pseudo_cam_lpips_weight=getattr(opt, "pseudo_cam_lpips_weight", 0.1),
@@ -523,6 +527,23 @@ class GuidedTrainer(BaselineTrainer):
             scale_guidance_weight=sw,
         )  # (T, 3, H, W) [0, 1]
         video = np.asarray(video)
+
+        if (
+            getattr(self.opt, "append_pcd_from_video_diffusion", False)
+            and self.depth_estimator is not None
+        ):
+            from guidedvd3dgs_tpu.guidance.depth_lift import lift_video_to_points
+
+            frames_hwc = np.transpose(video, (0, 2, 3, 1))
+            rel = np.asarray(self.depth_estimator(frames_hwc * 2.0 - 1.0))
+            pts, rgbs = lift_video_to_points(
+                frames_hwc, rel,
+                np.asarray(gs_depth[:, 0]), 1.0 - np.asarray(gs_alpha[:, 0]),
+                traj, self.intrinsic,
+            )
+            if pts.shape[0]:
+                self.state = G.add_points(self.state, pts, rgbs)
+                self.maybe_grow()
 
         fovx = self.train_cams[view].FoVx
         fovy = self.train_cams[view].FoVy
