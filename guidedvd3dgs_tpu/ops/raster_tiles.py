@@ -179,10 +179,14 @@ def _fwd_kernel(
                         preferred_element_type=jnp.float32)
     accD0 = jax.lax.dot(jnp.zeros((1, 8), jnp.float32), z8,
                         preferred_element_type=jnp.float32)
+    # T/done come out of the loop body as sublane REDUCTIONS (replicated
+    # Mosaic layout) — build the inits through reductions too
+    T0 = 1.0 + jnp.sum(z8, axis=0, keepdims=True)
+    done0 = jnp.any(z8 > 1.0, axis=0, keepdims=True)
     init = (
         jnp.int32(0),
-        jnp.ones((1, TILE_PIX), jnp.float32),
-        jnp.zeros((1, TILE_PIX), bool),
+        T0,
+        done0,
         accC0,
         accD0,
         accD0,
@@ -340,12 +344,13 @@ def _bwd_kernel(
         return (c + 1, q["T_out"], q["done_out"], prefix + jnp.sum(wu, axis=0, keepdims=True))
 
     # T/done/prefix are reduction-produced in the body (replicated sublane
-    # layout) — broadcast-constant inits match (see the fwd layout note)
+    # layout) — build inits through reductions (see the fwd layout note)
+    z8 = jnp.zeros((8, TILE_PIX), jnp.float32)
     init = (
         jnp.int32(0),
-        jnp.ones((1, TILE_PIX), jnp.float32),
-        jnp.zeros((1, TILE_PIX), bool),
-        jnp.zeros((1, TILE_PIX), jnp.float32),
+        1.0 + jnp.sum(z8, axis=0, keepdims=True),
+        jnp.any(z8 > 1.0, axis=0, keepdims=True),
+        jnp.sum(z8, axis=0, keepdims=True),
     )
     jax.lax.while_loop(cond, body, init)
 
