@@ -133,6 +133,8 @@ def _fwd_kernel(
     out_ref,  # (1, 8, TILE_PIX): rows 0-2 color, 3 depth, 4 alpha, 5-7 pad
     # scratch
     chunk_vmem,  # (NUM_FIELDS, CHUNK)
+    state_vmem,  # (8, TILE_PIX): 0 T, 1-3 accC, 4 accD, 5 accA, 6 done, 7 pad
+    done_smem,  # (1,) int32
     sem,
     *,
     gx: int,
@@ -146,12 +148,19 @@ def _fwd_kernel(
     pixx, pixy = _pixel_coords(t, gx)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
-    def cond(carry):
-        c, T, done, accC, accD, accA = carry
-        return (c < nch) & (~jnp.all(done))
+    # Mosaic rejects vector while-loop carries whose layouts differ between
+    # the init and body producers (scf.yield legalization), so the per-pixel
+    # state lives in VMEM scratch (stores reconcile layouts) and the loop
+    # carries only the chunk counter; the early-exit flag is an SMEM scalar.
+    row0 = jnp.zeros((1, TILE_PIX), jnp.float32)
+    state_vmem[0:1] = 1.0 + row0  # T
+    state_vmem[1:8] = jnp.zeros((7, TILE_PIX), jnp.float32)
+    done_smem[0] = 0
 
-    def body(carry):
-        c, T, done, accC, accD, accA = carry
+    def cond(c):
+        return (c < nch) & (done_smem[0] == 0)
+
+    def body(c):
         off = astart + c * CHUNK
         cp = pltpu.make_async_copy(inst_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem, sem)
         cp.start()
@@ -160,39 +169,31 @@ def _fwd_kernel(
         idx = off + col_idx
         valid = (idx >= start) & (idx < start + count)
 
+        T = state_vmem[0:1]
+        done = state_vmem[6:7] > 0.5
         q = _chunk_blend_quantities(data, valid, pixx, pixy, T, done)
         w = q["w"]
         colors = data[:, F_R : F_R + 3]  # (CHUNK, 3)
         depths = data[:, F_D : F_D + 1]  # (CHUNK, 1)
-        accC = accC + jax.lax.dot(colors.T, w, preferred_element_type=jnp.float32)
-        accD = accD + jax.lax.dot(depths.T, w, preferred_element_type=jnp.float32)
-        accA = accA + jnp.sum(w, axis=0, keepdims=True)
-        return (c + 1, q["T_out"], q["done_out"], accC, accD, accA)
+        state_vmem[1:4] = state_vmem[1:4] + jax.lax.dot(
+            colors.T, w, preferred_element_type=jnp.float32
+        )
+        state_vmem[4:5] = state_vmem[4:5] + jax.lax.dot(
+            depths.T, w, preferred_element_type=jnp.float32
+        )
+        state_vmem[5:6] = state_vmem[5:6] + jnp.sum(w, axis=0, keepdims=True)
+        state_vmem[0:1] = q["T_out"]
+        done_new = q["done_out"]
+        state_vmem[6:7] = done_new.astype(jnp.float32)
+        done_smem[0] = jnp.all(done_new).astype(jnp.int32)
+        return c + 1
 
-    # carry layouts must be loop-invariant on real TPU (Mosaic scf.yield
-    # legalization): T/done are produced by sublane REDUCTIONS in the body
-    # (replicated {*,0} layout — match with broadcast constants), while the
-    # accumulators are MXU dot outputs (concrete {0,0} layout — match by
-    # initializing them THROUGH a dot)
-    z8 = jnp.zeros((8, TILE_PIX), jnp.float32)
-    accC0 = jax.lax.dot(jnp.zeros((3, 8), jnp.float32), z8,
-                        preferred_element_type=jnp.float32)
-    accD0 = jax.lax.dot(jnp.zeros((1, 8), jnp.float32), z8,
-                        preferred_element_type=jnp.float32)
-    # T/done come out of the loop body as sublane REDUCTIONS (replicated
-    # Mosaic layout) — build the inits through reductions too
-    T0 = 1.0 + jnp.sum(z8, axis=0, keepdims=True)
-    done0 = jnp.any(z8 > 1.0, axis=0, keepdims=True)
-    init = (
-        jnp.int32(0),
-        T0,
-        done0,
-        accC0,
-        accD0,
-        accD0,
-    )
-    _, T, _, accC, accD, accA = jax.lax.while_loop(cond, body, init)
+    jax.lax.while_loop(cond, body, jnp.int32(0))
 
+    T = state_vmem[0:1]
+    accC = state_vmem[1:4]
+    accD = state_vmem[4:5]
+    accA = state_vmem[5:6]
     bg = jnp.stack([bg_ref[0, 0], bg_ref[1, 0], bg_ref[2, 0]]).reshape(3, 1)
     out_ref[0] = jnp.concatenate(
         [accC + T * bg, accD, accA, jnp.zeros((3, TILE_PIX), jnp.float32)], axis=0
@@ -226,6 +227,8 @@ def _run_fwd(inst_data, tile_start, tile_count, bg, gx: int, gy: int):
         out_specs=pl.BlockSpec((1, 8, TILE_PIX), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((NUM_FIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((8, TILE_PIX), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -253,6 +256,8 @@ def _bwd_kernel(
     grad_ref,  # (NUM_FIELDS, M) ANY output
     chunk_vmem,  # (NUM_FIELDS, CHUNK)
     gchunk_vmem,  # (NUM_FIELDS, CHUNK)
+    state_vmem,  # (8, TILE_PIX): 0 T, 1 prefix, 2 done, 3-7 pad
+    done_smem,  # (1,) int32
     sem,
     gsem,
     *,
@@ -277,12 +282,15 @@ def _bwd_kernel(
     # the forward outputs (see module docstring)
     U = jnp.sum(C * dC, axis=0, keepdims=True) + D * dD + A * dA
 
-    def cond(carry):
-        c, T, done, prefix = carry
-        return (c < nch) & (~jnp.all(done))
+    # scratch-resident loop state (see the fwd kernel's layout note)
+    state_vmem[0:1] = 1.0 + jnp.zeros((1, TILE_PIX), jnp.float32)  # T
+    state_vmem[1:8] = jnp.zeros((7, TILE_PIX), jnp.float32)  # prefix, done, pad
+    done_smem[0] = 0
 
-    def body(carry):
-        c, T, done, prefix = carry
+    def cond(c):
+        return (c < nch) & (done_smem[0] == 0)
+
+    def body(c):
         off = astart + c * CHUNK
         cp = pltpu.make_async_copy(inst_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem, sem)
         cp.start()
@@ -291,6 +299,9 @@ def _bwd_kernel(
         idx = off + col_idx
         valid = (idx >= start) & (idx < start + count)
 
+        T = state_vmem[0:1]
+        prefix = state_vmem[1:2]
+        done = state_vmem[2:3] > 0.5
         q = _chunk_blend_quantities(data, valid, pixx, pixy, T, done)
         w, include, alpha, G = q["w"], q["include"], q["alpha"], q["G"]
         dx, dy = q["dx"], q["dy"]
@@ -341,18 +352,14 @@ def _bwd_kernel(
         wr.start()
         wr.wait()
 
-        return (c + 1, q["T_out"], q["done_out"], prefix + jnp.sum(wu, axis=0, keepdims=True))
+        state_vmem[0:1] = q["T_out"]
+        state_vmem[1:2] = prefix + jnp.sum(wu, axis=0, keepdims=True)
+        done_new = q["done_out"]
+        state_vmem[2:3] = done_new.astype(jnp.float32)
+        done_smem[0] = jnp.all(done_new).astype(jnp.int32)
+        return c + 1
 
-    # T/done/prefix are reduction-produced in the body (replicated sublane
-    # layout) — build inits through reductions (see the fwd layout note)
-    z8 = jnp.zeros((8, TILE_PIX), jnp.float32)
-    init = (
-        jnp.int32(0),
-        1.0 + jnp.sum(z8, axis=0, keepdims=True),
-        jnp.any(z8 > 1.0, axis=0, keepdims=True),
-        jnp.sum(z8, axis=0, keepdims=True),
-    )
-    jax.lax.while_loop(cond, body, init)
+    jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
 def _run_bwd(
@@ -381,6 +388,8 @@ def _run_bwd(
         scratch_shapes=[
             pltpu.VMEM((NUM_FIELDS, CHUNK), jnp.float32),
             pltpu.VMEM((NUM_FIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((8, TILE_PIX), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
