@@ -70,13 +70,25 @@ def bench_fwd_bwd():
         out = rasterize_tiles(m, s, r, o, sh, cam, bg, sh_degree=3)
         return out.color.sum() + 0.1 * out.depth.sum() + 0.1 * out.alpha.sum()
 
-    g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4)))
-    out = g(*args)
+    vg = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))
+    iters = 8
+
+    # repeat inside one jit so host->device dispatch latency (large through
+    # remote-attached TPUs) does not pollute the kernel timing
+    @jax.jit
+    def g_rep(m, s, r, o, sh):
+        def body(carry, _):
+            val, grads = vg(m + carry * 0.0, s, r, o, sh)
+            gsum = jnp.stack([jnp.mean(x) for x in jax.tree.leaves(grads)])
+            return val * 0.0, (val, gsum)
+
+        _, (vals, grads) = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return vals, grads
+
+    out = g_rep(*args)
     jax.block_until_ready(out)  # compile + warm
-    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = g(*args)
+    out = g_rep(*args)
     jax.block_until_ready(out)
     ms = (time.perf_counter() - t0) / iters * 1000.0
     finite = all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(out[1]))
