@@ -553,7 +553,7 @@ def rasterize_tiles(
 ) -> RenderOutput:
     n = means3d.shape[0]
     if max_instances <= 0:
-        max_instances = max(8 * n, 1 << 14)
+        max_instances = max(4 * n, 1 << 14)
     max_instances = -(-max_instances // CHUNK) * CHUNK
 
     static_cfg = (

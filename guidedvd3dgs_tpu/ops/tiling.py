@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from guidedvd3dgs_tpu.ops.projection import ProcessedGaussians
 
@@ -67,9 +68,22 @@ def bin_gaussians(
     total = count.sum()
     num_tiles = gx * gy
 
+    # single int32 sort key: tile_id in the high bits, depth quantized into
+    # the rest (the CUDA reference packs tile<<32|depth into 64-bit keys,
+    # rasterizer_impl.cu:290-309; 32-bit lanes are what the TPU sorts fast)
+    depth_bits = min(31 - max(int(np.ceil(np.log2(num_tiles + 1))), 1), 22)
+    dscale = jnp.float32((1 << depth_bits) - 1)
+    vis_depth = jnp.where(proc.visible, proc.depths, jnp.inf)
+    dmin = jnp.min(vis_depth)
+    dmax = jnp.max(jnp.where(proc.visible, proc.depths, -jnp.inf))
+    dmin = jnp.where(jnp.isfinite(dmin), dmin, 0.0)
+    drange = jnp.maximum(dmax - dmin, 1e-6)
+    dq = jnp.clip((proc.depths - dmin) / drange, 0.0, 1.0 - 1e-7)
+    dq = (dq * dscale).astype(jnp.int32)
+
     m = max_instances
-    key_tile = jnp.full((m,), num_tiles, jnp.int32)
-    key_depth = jnp.full((m,), jnp.inf, jnp.float32)
+    pad_key = jnp.int32(num_tiles << depth_bits)
+    keys = jnp.full((m,), pad_key, jnp.int32)
     inst_gauss = jnp.full((m,), n, jnp.int32)
 
     tcap = max_tiles_per_gaussian
@@ -86,41 +100,39 @@ def bin_gaussians(
     c_rw = pad1(rw, 1).reshape(nchunks, scatter_chunk)
     c_cnt = pad1(count).reshape(nchunks, scatter_chunk)
     c_off = pad1(offsets).reshape(nchunks, scatter_chunk)
-    c_depth = pad1(proc.depths, jnp.inf).reshape(nchunks, scatter_chunk)
+    c_dq = pad1(dq).reshape(nchunks, scatter_chunk)
     c_gid = (
         jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad_n), constant_values=n)
         .reshape(nchunks, scatter_chunk)
     )
 
     def scatter_chunk_fn(carry, ch):
-        kt, kd, gi = carry
-        rmx_c, rmy_c, rw_c, cnt_c, off_c, d_c, gid_c = ch
+        kk, gi = carry
+        rmx_c, rmy_c, rw_c, cnt_c, off_c, dq_c, gid_c = ch
         # (chunk, tcap) candidate tiles in row-major rect order
         dy = slots[None, :] // jnp.maximum(rw_c[:, None], 1)
         dx = slots[None, :] % jnp.maximum(rw_c[:, None], 1)
         tile_id = (rmy_c[:, None] + dy) * gx + rmx_c[:, None] + dx
+        key = (tile_id << depth_bits) | dq_c[:, None]
         valid = slots[None, :] < cnt_c[:, None]
         dest = jnp.where(valid, off_c[:, None] + slots[None, :], m)
         dest = jnp.where(dest < m, dest, m).reshape(-1)
-        kt = kt.at[dest].set(tile_id.reshape(-1).astype(jnp.int32), mode="drop")
-        kd = kd.at[dest].set(jnp.broadcast_to(d_c[:, None], dy.shape).reshape(-1), mode="drop")
+        kk = kk.at[dest].set(key.reshape(-1).astype(jnp.int32), mode="drop")
         gi = gi.at[dest].set(jnp.broadcast_to(gid_c[:, None], dy.shape).reshape(-1), mode="drop")
-        return (kt, kd, gi), None
+        return (kk, gi), None
 
-    (key_tile, key_depth, inst_gauss), _ = jax.lax.scan(
+    (keys, inst_gauss), _ = jax.lax.scan(
         scatter_chunk_fn,
-        (key_tile, key_depth, inst_gauss),
-        (c_rmx, c_rmy, c_rw, c_cnt, c_off, c_depth, c_gid),
+        (keys, inst_gauss),
+        (c_rmx, c_rmy, c_rw, c_cnt, c_off, c_dq, c_gid),
     )
 
-    key_tile, key_depth, inst_gauss = jax.lax.sort(
-        (key_tile, key_depth, inst_gauss), num_keys=2
-    )
+    keys, inst_gauss = jax.lax.sort((keys, inst_gauss), num_keys=1, is_stable=True)
 
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(key_tile, tile_ids, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(key_tile, tile_ids, side="right").astype(jnp.int32)
-    tile_count = tile_end - tile_start
+    tile_bounds = (jnp.arange(num_tiles + 1, dtype=jnp.int32) << depth_bits)
+    starts = jnp.searchsorted(keys, tile_bounds, side="left").astype(jnp.int32)
+    tile_start = starts[:-1]
+    tile_count = starts[1:] - starts[:-1]
 
     # gather packed render fields; padding rows (gauss == n) read index n-1
     # but are masked in-kernel via inst validity (tile ranges never reach them)
