@@ -1,0 +1,170 @@
+"""Random initialization of the UNet3D parameter dict (torch-named).
+
+Builds the exact key set the checkpoint converter produces, for tests,
+multi-chip dryruns and development without the ViewCrafter weights. Shapes
+mirror the reference constructors (see unet3d.py / attention.py citations).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from guidedvd3dgs_tpu.diffusion.unet3d import UNetConfig, build_layout
+
+
+class _Init:
+    def __init__(self, rng, scale=0.02):
+        self.rng = rng
+        self.scale = scale
+        self.p: Dict[str, jnp.ndarray] = {}
+
+    def _k(self):
+        self.rng, k = jax.random.split(self.rng)
+        return k
+
+    def linear(self, name, out_d, in_d, bias=True):
+        self.p[f"{name}.weight"] = self.scale * jax.random.normal(self._k(), (out_d, in_d))
+        if bias:
+            self.p[f"{name}.bias"] = jnp.zeros((out_d,))
+
+    def conv2d(self, name, out_c, in_c, k=3):
+        self.p[f"{name}.weight"] = self.scale * jax.random.normal(self._k(), (out_c, in_c, k, k))
+        self.p[f"{name}.bias"] = jnp.zeros((out_c,))
+
+    def conv3d(self, name, out_c, in_c, kshape):
+        self.p[f"{name}.weight"] = self.scale * jax.random.normal(
+            self._k(), (out_c, in_c) + kshape
+        )
+        self.p[f"{name}.bias"] = jnp.zeros((out_c,))
+
+    def conv1d(self, name, out_c, in_c):
+        self.p[f"{name}.weight"] = self.scale * jax.random.normal(self._k(), (out_c, in_c, 1))
+        self.p[f"{name}.bias"] = jnp.zeros((out_c,))
+
+    def norm(self, name, c):
+        self.p[f"{name}.weight"] = jnp.ones((c,))
+        self.p[f"{name}.bias"] = jnp.zeros((c,))
+
+
+def _attn_block(ini: _Init, pre: str, dim: int, ctx: int, image_cross: bool):
+    for i in (1, 2, 3):
+        ini.norm(f"{pre}.norm{i}", dim)
+    ini.linear(f"{pre}.attn1.to_q", dim, dim, bias=False)
+    ini.linear(f"{pre}.attn1.to_k", dim, dim, bias=False)
+    ini.linear(f"{pre}.attn1.to_v", dim, dim, bias=False)
+    ini.linear(f"{pre}.attn1.to_out.0", dim, dim)
+    ini.linear(f"{pre}.attn2.to_q", dim, dim, bias=False)
+    ini.linear(f"{pre}.attn2.to_k", dim, ctx, bias=False)
+    ini.linear(f"{pre}.attn2.to_v", dim, ctx, bias=False)
+    if image_cross:
+        ini.linear(f"{pre}.attn2.to_k_ip", dim, ctx, bias=False)
+        ini.linear(f"{pre}.attn2.to_v_ip", dim, ctx, bias=False)
+    ini.linear(f"{pre}.attn2.to_out.0", dim, dim)
+    ini.linear(f"{pre}.ff.net.0.proj", 8 * dim, dim)
+    ini.linear(f"{pre}.ff.net.2", dim, 4 * dim)
+
+
+def _spatial(ini: _Init, pre: str, ch: int, cfg: UNetConfig):
+    ini.norm(f"{pre}.norm", ch)
+    ini.linear(f"{pre}.proj_in", ch, ch)
+    _attn_block(ini, f"{pre}.transformer_blocks.0", ch, cfg.context_dim,
+                cfg.image_cross_attention)
+    ini.linear(f"{pre}.proj_out", ch, ch)
+
+
+def _temporal(ini: _Init, pre: str, ch: int, cfg: UNetConfig, use_linear=True,
+              inner: int = 0):
+    inner = inner or ch
+    ini.norm(f"{pre}.norm", ch)
+    if use_linear:
+        ini.linear(f"{pre}.proj_in", inner, ch)
+        ini.linear(f"{pre}.proj_out", ch, inner)
+    else:
+        ini.conv1d(f"{pre}.proj_in", inner, ch)
+        ini.conv1d(f"{pre}.proj_out", ch, inner)
+    # only_self_att: attn2 context defaults to the query dim (reference
+    # attention.py:363-366 — context_dim=None in the temporal blocks)
+    _attn_block(ini, f"{pre}.transformer_blocks.0", inner, inner, False)
+
+
+def _res(ini: _Init, pre: str, in_ch: int, out_ch: int, temb: int, temporal: bool):
+    ini.norm(f"{pre}.in_layers.0", in_ch)
+    ini.conv2d(f"{pre}.in_layers.2", out_ch, in_ch)
+    ini.linear(f"{pre}.emb_layers.1", out_ch, temb)
+    ini.norm(f"{pre}.out_layers.0", out_ch)
+    ini.conv2d(f"{pre}.out_layers.3", out_ch, out_ch)
+    if in_ch != out_ch:
+        ini.p[f"{pre}.skip_connection.weight"] = 0.02 * jax.random.normal(
+            ini._k(), (out_ch, in_ch, 1, 1)
+        )
+        ini.p[f"{pre}.skip_connection.bias"] = jnp.zeros((out_ch,))
+    if temporal:
+        tc = f"{pre}.temopral_conv"
+        ini.norm(f"{tc}.conv1.0", out_ch)
+        ini.conv3d(f"{tc}.conv1.2", out_ch, out_ch, (3, 1, 1))
+        for i in (2, 3, 4):
+            ini.norm(f"{tc}.conv{i}.0", out_ch)
+            ini.conv3d(f"{tc}.conv{i}.3", out_ch, out_ch, (3, 1, 1))
+
+
+def init_unet_params(cfg: UNetConfig, rng: jax.Array) -> Dict[str, jnp.ndarray]:
+    """Complete init including down/upsample convs (channel bookkeeping
+    mirrors build_layout)."""
+    ini = _Init(rng)
+    mc = cfg.model_channels
+    temb = 4 * mc
+    ini.linear("time_embed.0", temb, mc)
+    ini.linear("time_embed.2", temb, temb)
+    if cfg.fs_condition:
+        ini.linear("fps_embedding.0", temb, mc)
+        ini.linear("fps_embedding.2", temb, temb)
+
+    input_blocks, middle, output_blocks = build_layout(cfg)
+
+    # channel tracking identical to unet3d.build_layout
+    ch_after: Dict[str, int] = {}
+    ch = mc
+    for layers in input_blocks:
+        for kind, prefix, meta in layers:
+            if kind == "conv_in":
+                ini.conv2d(prefix, mc, cfg.in_channels)
+                ch = mc
+            elif kind == "res":
+                _res(ini, prefix, meta["in_ch"], meta["out_ch"], temb, meta["temporal"])
+                ch = meta["out_ch"]
+            elif kind == "spatial":
+                _spatial(ini, prefix, ch, cfg)
+            elif kind == "temporal":
+                _temporal(ini, prefix, ch, cfg)
+            elif kind == "down":
+                ini.conv2d(f"{prefix}.op", ch, ch)
+    for kind, prefix, meta in middle:
+        if kind == "res":
+            _res(ini, prefix, meta["in_ch"], meta["out_ch"], temb, meta["temporal"])
+            ch = meta["out_ch"]
+        elif kind == "spatial":
+            _spatial(ini, prefix, ch, cfg)
+        elif kind == "temporal":
+            _temporal(ini, prefix, ch, cfg)
+    for layers in output_blocks:
+        for kind, prefix, meta in layers:
+            if kind == "res":
+                _res(ini, prefix, meta["in_ch"], meta["out_ch"], temb, meta["temporal"])
+                ch = meta["out_ch"]
+            elif kind == "spatial":
+                _spatial(ini, prefix, ch, cfg)
+            elif kind == "temporal":
+                _temporal(ini, prefix, ch, cfg)
+            elif kind == "up":
+                ini.conv2d(f"{prefix}.conv", ch, ch)
+
+    if cfg.addition_attention:
+        _temporal(ini, "init_attn.0", mc, cfg, use_linear=False,
+                  inner=8 * cfg.num_head_channels)
+
+    ini.norm("out.0", mc)
+    ini.conv2d("out.2", cfg.out_channels, mc)
+    return ini.p
