@@ -131,9 +131,14 @@ class SimpleTokenizer:
         return bpe_tokens
 
 
-# precomputed open_clip token ids for the prompts guidedvd actually uses
+# precomputed open_clip token ids for the prompts guidedvd actually uses:
+# "" (the uncond/cond text, diffusion_utils.py:140,161) and the default
+# prompt "Rotating view of a scene" (configs/infer_config.py:50), ids
+# computed with SimpleTokenizer on the canonical bpe_simple_vocab_16e6
+# merges — so default runs need no vocab file at all
 _PROMPT_CACHE: Dict[str, List[int]] = {
     "": [],
+    "Rotating view of a scene": [32265, 1093, 539, 320, 3562],
 }
 
 

@@ -46,6 +46,8 @@ class RenderResult(NamedTuple):
     alpha: jnp.ndarray  # (H, W)
     radii: jnp.ndarray  # (C,)
     visibility_filter: jnp.ndarray  # (C,) bool == radii > 0
+    overflow: Optional[jnp.ndarray] = None  # () int32, tile-backend instance drop count
+    num_instances: Optional[jnp.ndarray] = None  # () int32, tile-backend instance demand
 
 
 def render_gaussians(
@@ -60,6 +62,7 @@ def render_gaussians(
     means2d_offset: Optional[jnp.ndarray] = None,
     use_confidence: bool = False,
     backend: str = "auto",
+    max_instances: int = 0,
 ) -> RenderResult:
     """Differentiable render of the (possibly capacity-padded) Gaussian set.
 
@@ -96,6 +99,7 @@ def render_gaussians(
         means2d_offset=means2d_offset,
         active_mask=active,
         backend=backend,
+        max_instances=max_instances,
     )
     return RenderResult(
         color=out.color,
@@ -103,6 +107,8 @@ def render_gaussians(
         alpha=out.alpha,
         radii=out.radii,
         visibility_filter=out.radii > 0,
+        overflow=out.overflow,
+        num_instances=out.num_instances,
     )
 
 

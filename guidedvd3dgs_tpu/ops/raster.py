@@ -37,6 +37,7 @@ def rasterize(
     means2d_offset: Optional[jnp.ndarray] = None,
     active_mask: Optional[jnp.ndarray] = None,
     backend: str = "auto",
+    max_instances: int = 0,
 ) -> RenderOutput:
     kwargs = dict(
         sh_degree=sh_degree,
@@ -53,5 +54,8 @@ def rasterize(
     elif backend == "tiles":
         from guidedvd3dgs_tpu.ops.raster_tiles import rasterize_tiles
 
-        return rasterize_tiles(means3d, scales, rotations, opacities, shs, cam, bg, **kwargs)
+        return rasterize_tiles(
+            means3d, scales, rotations, opacities, shs, cam, bg,
+            max_instances=max_instances, **kwargs,
+        )
     raise ValueError(f"unknown raster backend: {backend}")

@@ -36,6 +36,12 @@ class RenderOutput(NamedTuple):
     alpha: jnp.ndarray  # (H, W) accumulated alpha weight
     radii: jnp.ndarray  # (N,) int32
     visibility: jnp.ndarray  # (N,) bool, radii > 0
+    # tile-backend capacity diagnostics (None for the dense oracle): number
+    # of (gaussian, tile) instances dropped because the fixed instance buffer
+    # was too small, and the true instance demand. The reference never drops
+    # (rasterizer_impl.cu:278-309) — trainers must check overflow and regrow.
+    overflow: Optional[jnp.ndarray] = None  # () int32
+    num_instances: Optional[jnp.ndarray] = None  # () int32
 
 
 def _pixel_grid(height: int, width: int, dtype) -> jnp.ndarray:

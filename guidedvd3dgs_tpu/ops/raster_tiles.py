@@ -359,7 +359,24 @@ def _bwd_kernel(
         done_smem[0] = jnp.all(done_new).astype(jnp.int32)
         return c + 1
 
-    jax.lax.while_loop(cond, body, jnp.int32(0))
+    c_exit = jax.lax.while_loop(cond, body, jnp.int32(0))
+
+    # Zero-fill the chunks the early exit skipped: grad_ref is an ANY/HBM
+    # output, so unvisited slots are uninitialized garbage that the
+    # per-Gaussian scatter-add would ingest (finite on CPU interpret mode,
+    # non-finite on real TPU). Skipped chunks always have c >= 1 (chunk 0
+    # runs whenever nch > 0), so every lane is >= start and a plain zero
+    # write is safe — no seam with the previous tile to preserve.
+    gchunk_vmem[:, :] = jnp.zeros((NUM_FIELDS, CHUNK), jnp.float32)
+
+    def zbody(c):
+        off = astart + c * CHUNK
+        wr = pltpu.make_async_copy(gchunk_vmem, grad_ref.at[:, pl.ds(off, CHUNK)], gsem)
+        wr.start()
+        wr.wait()
+        return c + 1
+
+    jax.lax.while_loop(lambda c: c < nch, zbody, c_exit)
 
 
 def _run_bwd(
@@ -461,12 +478,13 @@ def _raster_fwd_impl(
     color = C[:, :height, :width]
     depth = D[:height, :width]
     alpha = A[:height, :width]
+    diag = (binning.overflow, binning.num_instances)
     residuals = (
         binning, C, D, A,
         means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
         means2d_offset, viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_mask,
     )
-    return (color, depth, alpha, proc.radii), residuals
+    return (color, depth, alpha, proc.radii, diag), residuals
 
 
 def _raster_fwd(static_cfg, height, width, *args):
@@ -481,7 +499,7 @@ def _raster_bwd(static_cfg, height, width, res, cotangents):
         means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
         means2d_offset, viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_mask,
     ) = res
-    dcolor, ddepth, dalpha, _dradii = cotangents
+    dcolor, ddepth, dalpha, _dradii, _ddiag = cotangents
 
     gy, gx = binning.grid_y, binning.grid_x
     hp, wp = gy * TILE, gx * TILE
@@ -565,10 +583,10 @@ def rasterize_tiles(
         cov3d_precomp is not None,
         means2d_offset is not None,
     )
-    color, depth, alpha, radii = _raster_core(
+    color, depth, alpha, radii, (overflow, num_instances) = _raster_core(
         static_cfg, cam.height, cam.width,
         means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
         means2d_offset, cam.viewmatrix, cam.projmatrix, cam.campos,
         cam.tanfovx, cam.tanfovy, bg, active_mask,
     )
-    return RenderOutput(color, depth, alpha, radii, radii > 0)
+    return RenderOutput(color, depth, alpha, radii, radii > 0, overflow, num_instances)

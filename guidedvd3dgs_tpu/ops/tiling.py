@@ -3,11 +3,19 @@
 Replaces the reference's CUDA duplicate-and-radix-sort binning
 (reference: cuda_rasterizer/rasterizer_impl.cu:278-321) with static-shape XLA
 primitives: per-Gaussian tile rects (getRect semantics, reference:
-auxiliary.h getRect), instance expansion by chunked scatter into a
-fixed-capacity instance buffer, a two-key lexicographic `lax.sort` by
-(tile_id, depth), searchsorted tile ranges, and a gather of per-instance
-render fields into a field-major (NUM_FIELDS, M) array whose layout feeds the
-Pallas blend kernel with aligned lane-dim DMAs.
+auxiliary.h getRect), instance expansion by a searchsorted gather (each of
+the M fixed instance slots binary-searches the cumulative tile-count array
+for its owning Gaussian — no per-Gaussian tile cap, matching the reference's
+uncapped duplication), a packed single-key `lax.sort` by (tile_id, depth),
+searchsorted tile ranges, and a gather of per-instance render fields into a
+field-major (NUM_FIELDS, M) array whose layout feeds the Pallas blend kernel
+with aligned lane-dim DMAs.
+
+Capacity: the only remaining cap is the fixed instance buffer M
+(`max_instances`). When the true instance count exceeds M the overflow count
+is reported in `TileBinning.overflow` (threaded out through the render API so
+trainers can regrow + recompile); the reference sizes its buffer exactly and
+never drops (rasterizer_impl.cu:278-309).
 """
 
 from __future__ import annotations
@@ -58,14 +66,12 @@ def bin_gaussians(
     width: int,
     height: int,
     max_instances: int,
-    max_tiles_per_gaussian: int = 64,
-    scatter_chunk: int = 65536,
 ) -> TileBinning:
     n = proc.means2d.shape[0]
     rmx, rmy, rw, rh, count, gx, gy = tile_rects(proc, width, height)
-    count = jnp.minimum(count, max_tiles_per_gaussian)
-    offsets = jnp.cumsum(count) - count  # exclusive
-    total = count.sum()
+    cum = jnp.cumsum(count)  # inclusive
+    offsets = cum - count  # exclusive
+    total = cum[-1]
     num_tiles = gx * gy
 
     # single int32 sort key: tile_id in the high bits, depth quantized into
@@ -83,49 +89,20 @@ def bin_gaussians(
 
     m = max_instances
     pad_key = jnp.int32(num_tiles << depth_bits)
-    keys = jnp.full((m,), pad_key, jnp.int32)
-    inst_gauss = jnp.full((m,), n, jnp.int32)
 
-    tcap = max_tiles_per_gaussian
-    slots = jnp.arange(tcap, dtype=jnp.int32)
-
-    nchunks = -(-n // scatter_chunk)
-    pad_n = nchunks * scatter_chunk - n
-
-    def pad1(x, fill=0):
-        return jnp.pad(x, (0, pad_n), constant_values=fill)
-
-    c_rmx = pad1(rmx).reshape(nchunks, scatter_chunk)
-    c_rmy = pad1(rmy).reshape(nchunks, scatter_chunk)
-    c_rw = pad1(rw, 1).reshape(nchunks, scatter_chunk)
-    c_cnt = pad1(count).reshape(nchunks, scatter_chunk)
-    c_off = pad1(offsets).reshape(nchunks, scatter_chunk)
-    c_dq = pad1(dq).reshape(nchunks, scatter_chunk)
-    c_gid = (
-        jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad_n), constant_values=n)
-        .reshape(nchunks, scatter_chunk)
-    )
-
-    def scatter_chunk_fn(carry, ch):
-        kk, gi = carry
-        rmx_c, rmy_c, rw_c, cnt_c, off_c, dq_c, gid_c = ch
-        # (chunk, tcap) candidate tiles in row-major rect order
-        dy = slots[None, :] // jnp.maximum(rw_c[:, None], 1)
-        dx = slots[None, :] % jnp.maximum(rw_c[:, None], 1)
-        tile_id = (rmy_c[:, None] + dy) * gx + rmx_c[:, None] + dx
-        key = (tile_id << depth_bits) | dq_c[:, None]
-        valid = slots[None, :] < cnt_c[:, None]
-        dest = jnp.where(valid, off_c[:, None] + slots[None, :], m)
-        dest = jnp.where(dest < m, dest, m).reshape(-1)
-        kk = kk.at[dest].set(key.reshape(-1).astype(jnp.int32), mode="drop")
-        gi = gi.at[dest].set(jnp.broadcast_to(gid_c[:, None], dy.shape).reshape(-1), mode="drop")
-        return (kk, gi), None
-
-    (keys, inst_gauss), _ = jax.lax.scan(
-        scatter_chunk_fn,
-        (keys, inst_gauss),
-        (c_rmx, c_rmy, c_rw, c_cnt, c_off, c_dq, c_gid),
-    )
+    # instance expansion by gather: slot j belongs to the Gaussian g whose
+    # cumulative-count interval contains j (no per-Gaussian tile cap — the
+    # reference duplicates uncapped, rasterizer_impl.cu:278-309)
+    j = jnp.arange(m, dtype=jnp.int32)
+    g = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)  # in [0, n]
+    real = j < jnp.minimum(total, m)
+    gs = jnp.minimum(g, n - 1)
+    s = j - offsets[gs]  # row-major rect position within the Gaussian's rect
+    w_safe = jnp.maximum(rw[gs], 1)
+    tile_id = (rmy[gs] + s // w_safe) * gx + rmx[gs] + s % w_safe
+    key = (tile_id << depth_bits) | dq[gs]
+    keys = jnp.where(real, key, pad_key)
+    inst_gauss = jnp.where(real, gs, n)
 
     keys, inst_gauss = jax.lax.sort((keys, inst_gauss), num_keys=1, is_stable=True)
 

@@ -52,6 +52,7 @@ class StepStats:
         "lambda_dssim",
         "apply_adam",
         "update_stats",
+        "instance_mult",
     ),
     donate_argnames=("state",),
 )
@@ -67,6 +68,7 @@ def train_step(
     backend: str = "auto",
     apply_adam: bool = True,
     update_stats: bool = True,
+    instance_mult: int = 4,
 ):
     """One baseline optimization step. Returns (state, metrics)."""
     offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
@@ -82,6 +84,7 @@ def train_step(
             means2d_offset=offset,
             use_confidence=use_confidence,
             backend=backend,
+            max_instances=instance_mult * state.capacity,
         )
         ll1 = l1_loss(r.color, gt_image)
         loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(r.color, gt_image))
@@ -101,6 +104,9 @@ def train_step(
         "loss": loss,
         "l1": ll1,
         "psnr": psnr(r.color, gt_image)[0, 0],
+        # tile-instance capacity pressure: dropped instances this render
+        # (the reference never drops — trainers regrow on overflow)
+        "overflow": r.overflow if r.overflow is not None else jnp.int32(0),
     }
     return state, metrics
 
@@ -175,6 +181,11 @@ class BaselineTrainer:
         self.rng = random.Random(getattr(opt, "seed", 1))
         self.backend = getattr(pipe, "raster_backend", "auto")
         self.ema_loss = 0.0
+        # tile-instance buffer size as a multiple of the Gaussian capacity;
+        # doubled whenever a render reports dropped instances (the jitted
+        # step recompiles at the new static size)
+        self.instance_mult = 4
+        self.logger = None  # set via attach_logger
 
     def pick_camera(self):
         if not self.viewpoint_stack:
@@ -186,6 +197,22 @@ class BaselineTrainer:
         cap = self.state.capacity
         if n > 0.9 * cap:
             self.state = G.grow_capacity(self.state, cap * 2)
+
+    def attach_logger(self, logger):
+        self.logger = logger
+
+    def check_overflow(self, metrics, iteration: int):
+        """Regrow the tile-instance buffer when a render dropped instances
+        (the CUDA reference sizes its buffer exactly and never drops,
+        rasterizer_impl.cu:278-309). Doubling the static multiplier triggers
+        a recompile of the jitted step — rare, like a densify regrow."""
+        ovf = int(metrics.get("overflow", 0))
+        if ovf > 0:
+            self.instance_mult *= 2
+            print(
+                f"[iter {iteration}] tile-instance overflow ({ovf} dropped): "
+                f"instance buffer regrown to {self.instance_mult}x capacity"
+            )
 
     def step(self, iteration: int) -> StepStats:
         opt = self.opt
@@ -216,7 +243,9 @@ class BaselineTrainer:
             backend=self.backend,
             apply_adam=apply_adam,
             update_stats=update_stats,
+            instance_mult=self.instance_mult,
         )
+        self.check_overflow(metrics, iteration)
 
         if do_densify:
             cfg = densify_cfg(opt, self.scene.cameras_extent, iteration)
@@ -254,21 +283,68 @@ class BaselineTrainer:
             l1s.append(float(l1_loss(img, gt)))
         return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))} if psnrs else {}
 
-    def train(self, iterations=None, log_every=100, test_iterations=(), saving_iterations=()):
+    def train(
+        self,
+        iterations=None,
+        log_every=100,
+        test_iterations=(),
+        saving_iterations=(),
+        checkpoint_iterations=(),
+        checkpoint_dir=None,
+        start_iteration=0,
+        profile_dir=None,
+        profile_window=(50, 60),
+    ):
+        """Host schedule (reference train_baseline.py:58-126): jitted steps,
+        eval reports at test_iterations (:153-197), ply saves, periodic full
+        checkpoints (:101-104), optional jax.profiler trace window."""
         iterations = iterations or self.opt.iterations
         t0 = time.time()
-        for it in range(1, iterations + 1):
+        done0 = start_iteration
+        for it in range(start_iteration + 1, iterations + 1):
+            if profile_dir and it - start_iteration == profile_window[0]:
+                import jax.profiler
+
+                jax.profiler.start_trace(profile_dir)
             stats = self.step(it)
+            if profile_dir and it - start_iteration == profile_window[1]:
+                import jax.profiler
+
+                jax.profiler.stop_trace()
             if log_every and it % log_every == 0:
-                rate = it / (time.time() - t0)
+                rate = (it - done0) / (time.time() - t0)
                 print(
                     f"[{it}/{iterations}] loss={self.ema_loss:.5f} psnr={stats.psnr:.2f} "
                     f"n={stats.num_active} {rate:.1f} it/s"
                 )
+                if self.logger is not None:
+                    self.logger.scalars(
+                        it,
+                        {
+                            "loss": stats.loss, "l1": stats.l1, "psnr": stats.psnr,
+                            "total_points": stats.num_active, "it_per_s": rate,
+                        },
+                        prefix="train/",
+                    )
             if it in test_iterations:
                 m = self.evaluate(self.scene.getTestCameras())
                 if m:
                     print(f"[ITER {it}] test psnr {m['psnr']:.3f} l1 {m['l1']:.4f}")
+                    if self.logger is not None:
+                        self.logger.scalars(it, m, prefix="test/")
+                mt = self.evaluate(self.scene.getTrainCameras())
+                if mt and self.logger is not None:
+                    self.logger.scalars(it, mt, prefix="train_eval/")
+                if self.logger is not None:
+                    op = G.get_opacity(self.state.params)
+                    act = np.asarray(self.state.active)
+                    self.logger.histogram(it, "opacity", np.asarray(op)[act])
             if it in saving_iterations:
                 self.scene.save(it, self.state)
+            if it in checkpoint_iterations and checkpoint_dir:
+                from guidedvd3dgs_tpu.train.checkpoint import save_checkpoint
+
+                path = f"{checkpoint_dir}/chkpnt{it}.ckpt"
+                save_checkpoint(path, self.state, it)
+                print(f"[ITER {it}] saved checkpoint {path}")
         return self.state

@@ -34,7 +34,11 @@ def _flatten(state: G.GaussianState):
 def save_checkpoint(path: str, state: G.GaussianState, iteration: int) -> None:
     arrays, _ = _flatten(state)
     arrays["__iteration__"] = np.asarray(iteration)
-    np.savez(path, **arrays)
+    # np.savez appends ".npz" to bare string paths, which would desync the
+    # announced path from the file on disk — write through a file object so
+    # `path` is used verbatim whatever its extension
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def load_checkpoint(path: str, template: G.GaussianState) -> Tuple[G.GaussianState, int]:

@@ -131,8 +131,11 @@ class MockDiffusionEngine:
             "bilinear",
         )
         pc = jnp.transpose(pc, (0, 3, 1, 2))
+        # guidance_masks is the OBSERVED mask (1 - unobserved alpha mask, see
+        # run_diffusion_event): keep the frozen render where observed, fill
+        # the unobserved holes with the point-cloud render
         m = guidance_masks
-        return jnp.clip(guidance_images * (1 - m) + pc * m, 0.0, 1.0)
+        return jnp.clip(guidance_images * m + pc * (1 - m), 0.0, 1.0)
 
 
 class ViewCrafterEngine:
@@ -140,7 +143,8 @@ class ViewCrafterEngine:
     (reference utils/viewcrafter_wrapper.py:550-573 run_video_diffusion)."""
 
     def __init__(self, params, mcfg, scfg, guided_cfg=None, video_length=25,
-                 height=320, width=448):
+                 height=320, width=448, w_recon=0.5, ssim_guidance=False,
+                 lpips_fn: Optional[Callable] = None):
         from guidedvd3dgs_tpu.diffusion.samplers.ddim_guidance import GuidedSampleConfig
 
         self.params = params
@@ -150,20 +154,42 @@ class ViewCrafterEngine:
         self.video_length = video_length
         self.height = height
         self.width = width
+        # guidance-loss mix (reference LossGuidance ctor args,
+        # viewcrafter_wrapper.py:47-99): recon weight, optional SSIM mix,
+        # optional VGG-LPIPS term
+        self.w_recon = w_recon
+        self.ssim_guidance = ssim_guidance
+        self.lpips_fn = lpips_fn
+        # in warmup (scale_guidance_weight) mode the reference drops the
+        # alpha mask and applies the recon loss everywhere
+        # (viewcrafter_wrapper.py:147-151)
+        self.scale_weight_mode = False
 
     def generate(self, pc_renders, guidance_images, guidance_masks,
                  guidance_depths, rng, no_guidance=False, scale_guidance_weight=1.0):
         from guidedvd3dgs_tpu.diffusion.synthesis import image_guided_synthesis
         from guidedvd3dgs_tpu.guidance.loss_guidance import make_guidance_fn, resize_guidance
 
+        # conditioning renders arrive at train resolution; the diffusion
+        # model runs at its own (height, width) — resize in, like the
+        # reference does before encoding (viewcrafter_wrapper.py:531)
+        t = pc_renders.shape[0]
+        if pc_renders.shape[1] != self.height or pc_renders.shape[2] != self.width:
+            pc_renders = jax.image.resize(
+                pc_renders, (t, self.height, self.width, 3), "bilinear"
+            )
         video = pc_renders * 2.0 - 1.0  # [0,1] -> [-1,1]
         guidance_fn = None
         if not no_guidance:
             buffers = resize_guidance(
                 guidance_images, self.height, self.width,
-                masks=guidance_masks, depths=guidance_depths,
+                masks=None if self.scale_weight_mode else guidance_masks,
+                depths=guidance_depths,
             )
-            guidance_fn = make_guidance_fn(buffers)
+            guidance_fn = make_guidance_fn(
+                buffers, w_recon=self.w_recon,
+                ssim_guidance=self.ssim_guidance, lpips_fn=self.lpips_fn,
+            )
         frames = image_guided_synthesis(
             self.params, self.mcfg, self.scfg, video, rng,
             guidance_fn=guidance_fn, guided_cfg=self.guided_cfg,
@@ -255,6 +281,7 @@ def make_guided_train_step(
         static_argnames=(
             "sh_degree", "lambda_dssim", "use_confidence", "backend",
             "pseudo_ssim", "apply_adam", "update_stats", "has_pseudo",
+            "instance_mult",
         ),
         donate_argnames=("state",),
     )
@@ -275,15 +302,18 @@ def make_guided_train_step(
         apply_adam: bool = True,
         update_stats: bool = True,
         has_pseudo: bool = True,
+        instance_mult: int = 4,
     ):
         """Combined train-view + pseudo-view step (reference
         train_guidedvd.py:330-416)."""
         offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
+        max_inst = instance_mult * state.capacity
 
         def loss_fn(params, offset, offset_p):
             r = render_gaussians(
                 params, state.active, state.confidence, cam, bg, sh_degree,
                 means2d_offset=offset, use_confidence=use_confidence, backend=backend,
+                max_instances=max_inst,
             )
             ll1 = l1_loss(r.color, gt_image)
             loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(r.color, gt_image))
@@ -291,6 +321,7 @@ def make_guided_train_step(
                 rp = render_gaussians(
                     params, state.active, state.confidence, pseudo_cam, bg, sh_degree,
                     means2d_offset=offset_p, use_confidence=use_confidence, backend=backend,
+                    max_instances=max_inst,
                 )
                 pl1 = l1_loss(rp.color, pseudo_gt)
                 if pseudo_ssim:
@@ -326,9 +357,13 @@ def make_guided_train_step(
         if apply_adam:
             state = G.adam_step(state, gparams, lrs)
 
+        ovf = r.overflow if r.overflow is not None else jnp.int32(0)
+        if has_pseudo and rp is not None and rp.overflow is not None:
+            ovf = ovf + rp.overflow
         metrics = {
             "loss": loss, "l1": ll1, "pseudo_l1": pl1,
             "psnr": psnr(r.color, gt_image)[0, 0],
+            "overflow": ovf,
         }
         return state, metrics
 
@@ -465,6 +500,19 @@ class GuidedTrainer(BaselineTrainer):
 
     # -- diffusion event -------------------------------------------------------
 
+    def _event_dir(self, iteration: int) -> str:
+        """Per-event artifact directory (reference LossGuidance.update_save_dir
+        keys artifacts by train_iter, viewcrafter_wrapper.py:167-171); empty
+        string disables artifact saving (no model_path, e.g. tests)."""
+        mp = getattr(self.model_params, "model_path", "") or ""
+        if not mp or not getattr(self.opt, "save_event_artifacts", True):
+            return ""
+        import os
+
+        d = os.path.join(mp, "diffusion_events", f"train_iter{iteration}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
     def pc_render_along(self, traj_c2ws: np.ndarray, view_idx: int) -> jnp.ndarray:
         """Splat the scene point cloud along the trajectory; frame 0 replaced
         by the real training image (reference viewcrafter_wrapper.py:469-548)."""
@@ -519,14 +567,51 @@ class GuidedTrainer(BaselineTrainer):
         gs_alpha = (jnp.stack(alphas) < 0.9).astype(jnp.float32)[:, None]  # (T,1,H,W)
         gs_depth = jnp.stack(depths)[:, None]
 
+        event_dir = self._event_dir(iteration)
+        if event_dir:
+            # the reference's primary visual debugging artifacts
+            # (train_guidedvd.py:531-542, viewcrafter_wrapper.py:542)
+            from guidedvd3dgs_tpu.utils.video import save_video
+
+            save_video(np.asarray(pc_renders), f"{event_dir}/render0.mp4")
+            save_video(np.transpose(np.asarray(gs_rgb), (0, 2, 3, 1)),
+                       f"{event_dir}/gs_render.mp4")
+            save_video(np.asarray(gs_alpha)[:, 0], f"{event_dir}/gs_render_alpha.mp4")
+            d = np.asarray(gs_depth * (1.0 - gs_alpha))[:, 0]
+            d = (d - d.min()) / max(float(d.max() - d.min()), 1e-8)
+            save_video(d, f"{event_dir}/gs_render_depth.mp4")
+
         self.jrng, k = jax.random.split(self.jrng)
-        sw = 1.0
+        # optional guidance-weight warmup over the run
+        # (reference viewcrafter_wrapper.py:92-99 learning_rate_decay,
+        # flag scale_guidance_weight, arguments/__init__.py:154)
+        if getattr(self.opt, "scale_guidance_weight", False):
+            from guidedvd3dgs_tpu.guidance.loss_guidance import guidance_weight_schedule
+
+            sw = guidance_weight_schedule(iteration)
+        else:
+            sw = 1.0
         video = self.engine.generate(
             pc_renders, gs_rgb, 1.0 - gs_alpha, gs_depth, k,
             no_guidance=getattr(self.opt, "no_guidance", False),
             scale_guidance_weight=sw,
-        )  # (T, 3, H, W) [0, 1]
+        )  # (T, 3, engine_H, engine_W) [0, 1]
+        # resize the generated video back to train resolution before it
+        # becomes pseudo ground-truth (reference train_guidedvd.py:557-559)
+        if video.shape[2] != self.H or video.shape[3] != self.W:
+            video = jax.image.resize(
+                video, (video.shape[0], 3, self.H, self.W), "bilinear"
+            )
         video = np.asarray(video)
+
+        if event_dir:
+            from guidedvd3dgs_tpu.utils.video import save_video
+
+            save_video(np.transpose(video, (0, 2, 3, 1)), f"{event_dir}/diffusion0.mp4")
+            if getattr(self.opt, "guidance_save_videos", False):
+                # raw pseudo-GT tensor per event (reference .pth video_files,
+                # train_guidedvd.py:561-566) — npz, no pickle
+                np.savez_compressed(f"{event_dir}/video_view{view}.npz", video=video)
 
         if (
             getattr(self.opt, "append_pcd_from_video_diffusion", False)
@@ -615,7 +700,7 @@ class GuidedTrainer(BaselineTrainer):
                 backend=self.backend,
                 pseudo_ssim=getattr(opt, "pseudo_cam_ssim", False),
                 apply_adam=apply_adam, update_stats=update_stats,
-                has_pseudo=True,
+                has_pseudo=True, instance_mult=self.instance_mult,
             )
         else:
             self.state, metrics = self._step_fn(
@@ -626,8 +711,9 @@ class GuidedTrainer(BaselineTrainer):
                 use_confidence=getattr(self.pipe, "use_confidence", False),
                 backend=self.backend,
                 apply_adam=apply_adam, update_stats=update_stats,
-                has_pseudo=False,
+                has_pseudo=False, instance_mult=self.instance_mult,
             )
+        self.check_overflow(metrics, iteration)
 
         if do_densify:
             cfg = densify_cfg(opt, self.scene.cameras_extent, iteration)

@@ -1,0 +1,97 @@
+"""Video + image-grid artifacts (SURVEY.md §4 "visual artifacts").
+
+Role of the reference's `save_video` (h264 mp4 writer,
+third_party/ViewCrafter/utils_vc/pvd_utils.py:37-47) and
+`utils/vis_utils.py:8-28 plot_images` (row grids with optional JET weight
+maps): the guided trainer's primary debugging instruments. Writes mp4 via
+OpenCV (mp4v) with a png-sequence fallback when no codec is available.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _to_uint8(frames: np.ndarray) -> np.ndarray:
+    """(T, H, W, 3) float [0,1] -> uint8."""
+    return (np.clip(np.asarray(frames, np.float32), 0.0, 1.0) * 255.0 + 0.5).astype(
+        np.uint8
+    )
+
+
+def save_video(frames: np.ndarray, path: str, fps: int = 10) -> None:
+    """frames: (T, H, W, 3) in [0, 1] (rgb) or (T, H, W) grayscale."""
+    frames = np.asarray(frames)
+    if frames.ndim == 3:
+        frames = np.repeat(frames[..., None], 3, axis=-1)
+    arr = _to_uint8(frames)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        import cv2
+
+        h, w = arr.shape[1:3]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        if not vw.isOpened():
+            raise RuntimeError("VideoWriter failed to open")
+        for f in arr:
+            vw.write(f[:, :, ::-1])  # rgb -> bgr
+        vw.release()
+    except Exception:
+        # fallback: frame pngs next to the requested path
+        base = os.path.splitext(path)[0]
+        os.makedirs(base, exist_ok=True)
+        save_png_sequence(arr, base)
+
+
+def save_png_sequence(frames_u8: np.ndarray, dirpath: str) -> None:
+    import cv2
+
+    for i, f in enumerate(frames_u8):
+        cv2.imwrite(os.path.join(dirpath, f"{i:03d}.png"), f[:, :, ::-1])
+
+
+def save_image(img: np.ndarray, path: str) -> None:
+    """img: (3, H, W) or (H, W, 3) or (H, W) in [0, 1]."""
+    import cv2
+
+    img = np.asarray(img)
+    if img.ndim == 3 and img.shape[0] in (1, 3):
+        img = np.transpose(img, (1, 2, 0))
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cv2.imwrite(path, _to_uint8(img[None])[0][:, :, ::-1])
+
+
+def plot_image_grid(
+    rows: Sequence[np.ndarray],
+    path: str,
+    weights: Optional[Sequence[np.ndarray]] = None,
+) -> None:
+    """Stack image rows into one grid png; optional per-row weight maps are
+    JET-colormapped and appended (reference utils/vis_utils.py:8-28)."""
+    import cv2
+
+    tiles = []
+    for i, row in enumerate(rows):
+        row = np.asarray(row)
+        if row.ndim == 3 and row.shape[0] in (1, 3):
+            row = np.transpose(row, (1, 2, 0))
+        if row.ndim == 2:
+            row = row[..., None]
+        if row.shape[-1] == 1:
+            row = np.repeat(row, 3, axis=-1)
+        tiles.append(_to_uint8(row[None])[0])
+        if weights is not None and i < len(weights) and weights[i] is not None:
+            wmap = np.asarray(weights[i], np.float32)
+            wmap = (wmap - wmap.min()) / max(float(wmap.max() - wmap.min()), 1e-8)
+            jet = cv2.applyColorMap((wmap * 255).astype(np.uint8), cv2.COLORMAP_JET)
+            tiles.append(jet[:, :, ::-1])
+    grid = np.concatenate(tiles, axis=0)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cv2.imwrite(path, grid[:, :, ::-1])

@@ -34,6 +34,8 @@ def main():
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of steps 50-60 here")
     args = parser.parse_args()
 
     dataset = ModelParams.extract(args)
@@ -44,7 +46,7 @@ def main():
 
     from guidedvd3dgs_tpu.scene.scene import Scene
     from guidedvd3dgs_tpu.train.baseline import BaselineTrainer
-    from guidedvd3dgs_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+    from guidedvd3dgs_tpu.train.checkpoint import load_checkpoint
 
     os.makedirs(dataset.model_path, exist_ok=True)
     save_cfg_args(dataset.model_path, args)
@@ -56,19 +58,19 @@ def main():
         state, first_iter = load_checkpoint(args.start_checkpoint, state)
         print(f"Restored checkpoint at iteration {first_iter}")
 
+    from guidedvd3dgs_tpu.train.logging import MetricsLogger
+
     trainer = BaselineTrainer(scene, state, opt, pipe, dataset)
+    trainer.attach_logger(MetricsLogger(dataset.model_path))
     trainer.train(
         iterations=opt.iterations,
         test_iterations=set(args.test_iterations),
         saving_iterations=set(args.save_iterations),
+        checkpoint_iterations=set(args.checkpoint_iterations),
+        checkpoint_dir=dataset.model_path,
+        start_iteration=first_iter,
+        profile_dir=args.profile_dir,
     )
-    for it in args.checkpoint_iterations:
-        pass  # periodic checkpoints handled inside train when listed
-    if args.checkpoint_iterations:
-        save_checkpoint(
-            os.path.join(dataset.model_path, f"chkpnt{opt.iterations}.ckpt"),
-            trainer.state, opt.iterations,
-        )
     print("\nTraining complete.")
 
 
