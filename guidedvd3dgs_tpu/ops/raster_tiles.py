@@ -514,12 +514,18 @@ def _raster_bwd(static_cfg, height, width, res, cotangents):
 
     n = means3d.shape[0]
     ids = binning.inst_gauss  # (M,) n => padding
-    gi = grad_inst.T  # (M, NUM_FIELDS)
-    d_m2d = jnp.zeros((n, 2), jnp.float32).at[ids].add(gi[:, 0:2], mode="drop")
-    d_conic = jnp.zeros((n, 3), jnp.float32).at[ids].add(gi[:, 2:5], mode="drop")
-    d_opac = jnp.zeros((n,), jnp.float32).at[ids].add(gi[:, F_OP], mode="drop")
-    d_color = jnp.zeros((n, 3), jnp.float32).at[ids].add(gi[:, F_R : F_R + 3], mode="drop")
-    d_depth = jnp.zeros((n,), jnp.float32).at[ids].add(gi[:, F_D], mode="drop")
+    # Materialize the transpose before reducing: without the barrier XLA
+    # fuses it into the scatters, which then read (16, M)-strided columns
+    # per update — measured 565 ms vs 95 ms at 4M instances. One 16-wide
+    # scatter-add (deterministic replacement for the CUDA atomicAdd,
+    # backward.cu:555-598), then cheap N-sized column slices.
+    gi = jax.lax.optimization_barrier(grad_inst.T)  # (M, NUM_FIELDS)
+    acc = jnp.zeros((n, NUM_FIELDS), jnp.float32).at[ids].add(gi, mode="drop")
+    d_m2d = acc[:, 0:2]
+    d_conic = acc[:, 2:5]
+    d_opac = acc[:, F_OP]
+    d_color = acc[:, F_R : F_R + 3]
+    d_depth = acc[:, F_D]
 
     cam = RasterCamera(viewmatrix, projmatrix, campos, tanfovx, tanfovy, height, width)
 

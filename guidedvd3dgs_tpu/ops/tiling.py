@@ -90,17 +90,32 @@ def bin_gaussians(
     m = max_instances
     pad_key = jnp.int32(num_tiles << depth_bits)
 
-    # instance expansion by gather: slot j belongs to the Gaussian g whose
-    # cumulative-count interval contains j (no per-Gaussian tile cap — the
-    # reference duplicates uncapped, rasterizer_impl.cu:278-309)
+    # Instance expansion: slot j belongs to the Gaussian g whose cumulative-
+    # count interval contains j (no per-Gaussian tile cap — the reference
+    # duplicates uncapped, rasterizer_impl.cu:278-309). Owner lookup via
+    # scatter-max of Gaussian ids at range starts + an inclusive cummax —
+    # measured ~5 ms at 4M slots vs ~70 ms for a binary-search
+    # searchsorted (random gathers are the expensive primitive on TPU).
     j = jnp.arange(m, dtype=jnp.int32)
-    g = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)  # in [0, n]
-    real = j < jnp.minimum(total, m)
-    gs = jnp.minimum(g, n - 1)
-    s = j - offsets[gs]  # row-major rect position within the Gaussian's rect
-    w_safe = jnp.maximum(rw[gs], 1)
-    tile_id = (rmy[gs] + s // w_safe) * gx + rmx[gs] + s % w_safe
-    key = (tile_id << depth_bits) | dq[gs]
+    ids_n = jnp.arange(n, dtype=jnp.int32)
+    start_marks = jnp.zeros((m,), jnp.int32).at[
+        jnp.where(count > 0, offsets, m)
+    ].max(ids_n + 1, mode="drop")
+    g = jax.lax.cummax(start_marks) - 1  # owner id per slot, -1 before first range
+    real = (j < jnp.minimum(total, m)) & (g >= 0)
+    gs = jnp.where(real, g, 0)
+
+    # ONE row gather of the per-Gaussian key ingredients (a wide (M, 8)
+    # row gather is ~4x cheaper than 5 independent 1D gathers)
+    keytab = jnp.stack(
+        [rmx, rmy, jnp.maximum(rw, 1), dq, offsets,
+         jnp.zeros_like(rmx), jnp.zeros_like(rmx), jnp.zeros_like(rmx)],
+        axis=1,
+    )  # (N, 8) int32
+    kt = keytab[gs]
+    s = j - kt[:, 4]  # row-major rect position within the Gaussian's rect
+    tile_id = (kt[:, 1] + s // kt[:, 2]) * gx + kt[:, 0] + s % kt[:, 2]
+    key = (tile_id << depth_bits) | kt[:, 3]
     keys = jnp.where(real, key, pad_key)
     inst_gauss = jnp.where(real, gs, n)
 
@@ -111,26 +126,25 @@ def bin_gaussians(
     tile_start = starts[:-1]
     tile_count = starts[1:] - starts[:-1]
 
-    # gather packed render fields; padding rows (gauss == n) read index n-1
-    # but are masked in-kernel via inst validity (tile ranges never reach them)
-    safe = jnp.minimum(inst_gauss, n - 1)
-    cols = [
-        proc.means2d[safe, 0],
-        proc.means2d[safe, 1],
-        proc.conics[safe, 0],
-        proc.conics[safe, 1],
-        proc.conics[safe, 2],
-        jnp.where(inst_gauss < n, proc.opacities[safe], 0.0),
-        proc.colors[safe, 0],
-        proc.colors[safe, 1],
-        proc.colors[safe, 2],
-        proc.depths[safe],
-    ]
-    cols += [jnp.zeros((m,), jnp.float32)] * (NUM_FIELDS - len(cols))
-    # field-major (NUM_FIELDS, M): HBM lane dim = M so per-chunk DMA slices
+    # ONE row gather of the packed render fields from an (N+1, NUM_FIELDS)
+    # table (row n = zeros, read by padding slots), then relayout to
+    # field-major (NUM_FIELDS, M): HBM lane dim = M so per-chunk kernel DMAs
     # are 128-aligned (16, CHUNK) blocks (Mosaic cannot slice a 16-lane-wide
     # (M, 16) buffer)
-    fields = jnp.stack(cols, axis=0).astype(jnp.float32)  # (NUM_FIELDS, M)
+    zcol = jnp.zeros((n,), jnp.float32)
+    ftab = jnp.stack(
+        [
+            proc.means2d[:, 0], proc.means2d[:, 1],
+            proc.conics[:, 0], proc.conics[:, 1], proc.conics[:, 2],
+            proc.opacities,
+            proc.colors[:, 0], proc.colors[:, 1], proc.colors[:, 2],
+            proc.depths,
+        ]
+        + [zcol] * (NUM_FIELDS - 10),
+        axis=1,
+    )  # (N, NUM_FIELDS), column order == F_* indices
+    ftab = jnp.concatenate([ftab, jnp.zeros((1, NUM_FIELDS), jnp.float32)], axis=0)
+    fields = ftab[inst_gauss].T  # (NUM_FIELDS, M)
 
     return TileBinning(
         inst_data=fields,

@@ -240,6 +240,17 @@ def read_colmap_scene(
             with open(os.path.join(path, f"train_test_split_{n_views}.json")) as f:
                 splits = json.load(f)
             train_idx, test_idx = splits["train_ids"], splits["test_ids"]
+        elif dataset_l in ("colmap", "custom"):
+            # generic COLMAP scene (convert.py output / synthetic): explicit
+            # split json when present, else the standard every-8th holdout
+            split_json = os.path.join(path, f"train_test_split_{n_views}.json")
+            if os.path.exists(split_json):
+                with open(split_json) as f:
+                    splits = json.load(f)
+                train_idx, test_idx = splits["train_ids"], splits["test_ids"]
+            else:
+                test_idx = list(range(0, len(cam_infos), 8))
+                train_idx = [i for i in range(len(cam_infos)) if i % 8 != 0]
         else:
             raise NotImplementedError(dataset)
         train_cams = [c for i, c in enumerate(cam_infos) if i in set(train_idx)]

@@ -36,6 +36,8 @@ class Scene:
         load_iteration: Optional[int] = None,
         shuffle: bool = False,
         resolution_scales=(1.0,),
+        replica_use_project_cam: bool = False,
+        projected_dir: Optional[str] = None,
     ):
         self.model_path = args.model_path
         self.loaded_iter = None
@@ -58,7 +60,9 @@ class Scene:
                 args.eval,
                 n_views=args.n_views,
                 ply_path=getattr(args, "dust3r_ply", ""),
-                replica_use_project_cam=getattr(args, "replica_use_project_cam", False),
+                replica_use_project_cam=replica_use_project_cam
+                or getattr(args, "replica_use_project_cam", False),
+                projected_dir=projected_dir,
             )
         elif os.path.exists(os.path.join(args.source_path, "transforms_train.json")):
             scene_info = dataset_readers.read_blender_scene(

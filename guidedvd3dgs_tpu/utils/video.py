@@ -53,6 +53,16 @@ def save_png_sequence(frames_u8: np.ndarray, dirpath: str) -> None:
         cv2.imwrite(os.path.join(dirpath, f"{i:03d}.png"), f[:, :, ::-1])
 
 
+def load_image(path: str) -> np.ndarray:
+    """Read an image file -> (H, W, 3) uint8 rgb."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img[:, :, ::-1].copy()
+
+
 def save_image(img: np.ndarray, path: str) -> None:
     """img: (3, H, W) or (H, W, 3) or (H, W) in [0, 1]."""
     import cv2

@@ -21,12 +21,12 @@ import numpy as np
 
 
 def read_images(renders_dir: Path, gt_dir: Path):
-    import imageio.v2 as imageio
+    from guidedvd3dgs_tpu.utils.video import load_image
 
     renders, gts, names = [], [], []
     for fname in sorted(os.listdir(renders_dir)):
-        r = np.asarray(imageio.imread(renders_dir / fname), np.float32) / 255.0
-        g = np.asarray(imageio.imread(gt_dir / fname), np.float32) / 255.0
+        r = np.asarray(load_image(str(renders_dir / fname)), np.float32) / 255.0
+        g = np.asarray(load_image(str(gt_dir / fname)), np.float32) / 255.0
         renders.append(np.transpose(r[..., :3], (2, 0, 1))[None])
         gts.append(np.transpose(g[..., :3], (2, 0, 1))[None])
         names.append(fname)

@@ -14,10 +14,9 @@ import numpy as np
 
 def _save_png(path: str, img: np.ndarray):
     """img: (3, H, W) float [0,1]."""
-    import imageio.v2 as imageio
+    from guidedvd3dgs_tpu.utils.video import save_image
 
-    arr = (np.clip(np.transpose(img, (1, 2, 0)), 0, 1) * 255).astype(np.uint8)
-    imageio.imwrite(path, arr)
+    save_image(img, path)
 
 
 def render_set(model_path, name, iteration, views, trainer_like, save_depth=False):
@@ -45,14 +44,18 @@ def render_set(model_path, name, iteration, views, trainer_like, save_depth=Fals
             np.save(os.path.join(depth_path, f"{idx:05d}.npy"), np.asarray(r.depth))
 
 
-def render_video(model_path, iteration, views, trainer_like, fps=30, path_type="ellipse"):
-    """reference render.py:55-81: spiral/ellipse mp4."""
-    import imageio.v2 as imageio
+def render_video(model_path, iteration, views, trainer_like, fps=30,
+                 path_type="auto", source_path=""):
+    """reference render.py:55-81: spiral (llff poses_bounds) or ellipse mp4."""
+    import math
 
     from guidedvd3dgs_tpu.scene.cameras import camera_from_w2c_K
     from guidedvd3dgs_tpu.train.baseline import eval_render
-    from guidedvd3dgs_tpu.utils.pose_paths import generate_ellipse_path
-    import math
+    from guidedvd3dgs_tpu.utils.pose_paths import (
+        generate_ellipse_path,
+        generate_spiral_path,
+    )
+    from guidedvd3dgs_tpu.utils.video import save_video
 
     out_dir = os.path.join(model_path, "video", f"ours_{iteration}")
     os.makedirs(out_dir, exist_ok=True)
@@ -62,17 +65,23 @@ def render_video(model_path, iteration, views, trainer_like, fps=30, path_type="
     fy = h / (2 * math.tan(view0.FoVy / 2))
     K = np.array([[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1]])
 
-    w2cs = generate_ellipse_path(views, n_frames=240)
-    writer = imageio.get_writer(os.path.join(out_dir, "video.mp4"), fps=fps)
+    # path selection mirrors the reference (render.py:60-63): spiral for
+    # llff-style captures with poses_bounds.npy, ellipse otherwise
+    pb = os.path.join(source_path, "poses_bounds.npy") if source_path else ""
+    if path_type == "spiral" or (path_type == "auto" and "llff" in source_path and os.path.exists(pb)):
+        w2cs = generate_spiral_path(np.load(pb), n_frames=240)
+    else:
+        w2cs = generate_ellipse_path(views, n_frames=240)
+
+    frames = []
     for w2c in w2cs:
         cam = camera_from_w2c_K(np.asarray(w2c), K, h, w)
         r = eval_render(
             trainer_like["state"], cam.raster_camera(), trainer_like["bg"],
             trainer_like["sh_degree"], backend=trainer_like["backend"],
         )
-        img = (np.clip(np.transpose(np.asarray(r.color), (1, 2, 0)), 0, 1) * 255).astype(np.uint8)
-        writer.append_data(img)
-    writer.close()
+        frames.append(np.clip(np.transpose(np.asarray(r.color), (1, 2, 0)), 0, 1))
+    save_video(np.stack(frames), os.path.join(out_dir, "final_video.mp4"), fps=fps)
 
 
 def main():
@@ -93,6 +102,7 @@ def main():
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--video", action="store_true")
+    parser.add_argument("--path_type", default="auto", choices=["auto", "spiral", "ellipse"])
     parser.add_argument("--fps", default=30, type=int)
     parser.add_argument("--save_depth", action="store_true")
     parser.add_argument("--quiet", action="store_true")
@@ -119,7 +129,9 @@ def main():
         render_set(dataset.model_path, "test", it, scene.getTestCameras(), tl,
                    save_depth=args.save_depth)
     if args.video:
-        render_video(dataset.model_path, it, scene.getTrainCameras(), tl, fps=args.fps)
+        render_video(dataset.model_path, it, scene.getTrainCameras(), tl,
+                     fps=args.fps, path_type=args.path_type,
+                     source_path=dataset.source_path)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,7 @@ CFG = Dust3rConfig(
 )
 
 
+@pytest.mark.slow
 def test_dust3r_forward_parity():
     m = _ref_model()
     params = from_torch_module(m)

@@ -26,6 +26,7 @@ def test_resize_convention():
     assert out.shape[1] == 512 and out.shape[0] % 16 == 0
 
 
+@pytest.mark.slow
 def test_tiny_e2e_scene():
     """Random tiny weights: checks the full pairs->net->aligner plumbing."""
     import sys

@@ -1,5 +1,6 @@
 """Eval-stack tests: LPIPS structure, pose paths, checkpoint roundtrip."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -27,6 +28,7 @@ def _fake_alex():
     return LPIPSModel(net_type="alex", backbone=backbone, lin=lin)
 
 
+@pytest.mark.slow
 def test_lpips_zero_for_identical_and_positive_for_different():
     m = _fake_alex()
     rng = np.random.default_rng(0)
@@ -38,6 +40,7 @@ def test_lpips_zero_for_identical_and_positive_for_different():
     assert d_diff > 1e-4
 
 
+@pytest.mark.slow
 def test_lpips_vgg_variant_runs():
     k = iter(jax.random.split(jax.random.key(1), 64))
     blocks = [[0, 2], [5, 7], [10, 12, 14], [17, 19, 21], [24, 26, 28]]

@@ -123,6 +123,7 @@ def test_reset_opacity_clamps_and_zeroes_moments():
     assert float(st2.adam_m.opacity.sum()) == 0.0
 
 
+@pytest.mark.slow
 def test_render_ignores_inactive_rows():
     st = make_state(n=32, cap=128)
     cam = make_camera(height=32, width=32).raster_camera()
@@ -136,6 +137,7 @@ def test_render_ignores_inactive_rows():
     assert int(r2.radii[100]) == 0
 
 
+@pytest.mark.slow
 def test_confidence_scales_gradients():
     st = make_state(n=16, cap=32)
     conf = st.confidence.at[:8].set(0.5)
@@ -158,6 +160,7 @@ def test_confidence_scales_gradients():
     )
 
 
+@pytest.mark.slow
 def test_add_points_and_grow_capacity():
     st = make_state(n=16, cap=32)
     new_pts = np.random.default_rng(0).normal(size=(8, 3)).astype(np.float32)

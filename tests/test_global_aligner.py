@@ -45,6 +45,7 @@ def test_quat_roundtrip():
     np.testing.assert_allclose(R2, R, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pose_param_roundtrip():
     c2w = np.eye(4)
     c2w[:3, 3] = [0.5, -2.0, 3.0]
@@ -55,6 +56,7 @@ def test_pose_param_roundtrip():
     np.testing.assert_allclose(rt, c2w, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_alignment_recovers_depth_with_preset_poses():
     h, w = 8, 12
     c2w, depth, pts, f = _scene(h, w)

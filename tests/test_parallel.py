@@ -29,6 +29,7 @@ def _batch(n_cams, h=32, w=32):
     return cams, rcs, gts
 
 
+@pytest.mark.slow
 def test_dp_step_runs_on_mesh():
     mesh = make_mesh(n_data=8)
     state = jax.device_put(_state(), NamedSharding(mesh, P()))
@@ -47,6 +48,7 @@ def test_dp_step_runs_on_mesh():
     assert not np.allclose(np.asarray(state2.params.xyz), xyz_before)
 
 
+@pytest.mark.slow
 def test_dp_matches_sequential_grad_semantics():
     """A B=2 DP step must equal one step whose gradient is the mean of the two
     per-camera gradients, and its densify stats the sum of per-camera stats."""
@@ -101,6 +103,7 @@ def test_dp_matches_sequential_grad_semantics():
     )
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 

@@ -87,6 +87,7 @@ def test_order_independence_of_sorting():
     np.testing.assert_allclose(np.asarray(out1.color), np.asarray(out2.color), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradients_flow_and_are_finite():
     cam = make_camera(height=32, width=32).raster_camera()
     parts = activated(*random_gaussians(n=64, seed=5))
@@ -108,6 +109,7 @@ def test_gradients_flow_and_are_finite():
     assert np.abs(np.asarray(grads[5])).sum() > 0
 
 
+@pytest.mark.slow
 def test_finite_difference_opacity_grad():
     """Finite-difference check of a scalar parameter through the full blend."""
     cam = make_camera(height=24, width=24).raster_camera()

@@ -89,6 +89,7 @@ def test_forward_matches_dense_opaque():
     )
 
 
+@pytest.mark.slow
 def test_backward_matches_dense():
     cam, parts = setup(n=200, seed=3, height=32, width=48)
     xyz, scales, rots, opac, sh = parts

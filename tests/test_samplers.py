@@ -106,6 +106,7 @@ def _cond(rng, b, t, ctx_dim, h, w):
     )
 
 
+@pytest.mark.slow
 def test_plain_ddim_runs_and_is_finite(tiny):
     cfg, params = tiny
     sched = cfg.schedule()
@@ -128,6 +129,7 @@ def test_plain_ddim_runs_and_is_finite(tiny):
     assert bool(jnp.isfinite(x0).all())
 
 
+@pytest.mark.slow
 def test_guided_ddim_moves_toward_guidance(tiny):
     """The guidance gradient must pull decoded frames toward the target:
     guided samples must have strictly lower guidance loss than unguided."""

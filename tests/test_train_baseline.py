@@ -1,6 +1,7 @@
 """End-to-end baseline training on a synthetic scene: loss falls, PSNR rises,
 densify/reset fire without breaking the jitted step."""
 
+import pytest
 import dataclasses
 
 import jax.numpy as jnp
@@ -80,6 +81,7 @@ def make_synthetic():
     return cams
 
 
+@pytest.mark.slow
 def test_baseline_training_improves_psnr():
     cams = make_synthetic()
     rng = np.random.default_rng(7)

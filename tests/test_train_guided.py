@@ -2,6 +2,7 @@
 engine: trajectory pool builds, diffusion events fire, pseudo cameras feed
 the loss, PSNR improves."""
 
+import pytest
 import dataclasses
 import math
 
@@ -83,6 +84,7 @@ def test_trajectory_pool_builds():
             )
 
 
+@pytest.mark.slow
 def test_guided_training_runs_and_improves():
     trainer, cams = _setup()
     trainer.init_trajectory_pool()

@@ -80,6 +80,7 @@ def _jax_cfg():
 
 
 @pytest.mark.parametrize("per_frame_ctx", [True, False])
+@pytest.mark.slow
 def test_unet_forward_parity(per_frame_ctx):
     m = _ref_unet()
     params = from_torch_module(m)

@@ -66,9 +66,9 @@ def load_replica(basedir: str):
             poses_w2c.append(np.linalg.inv(c2w))
     poses_w2c = np.stack(poses_w2c, 0).astype(np.float32)
 
-    import imageio.v2 as imageio
+    from guidedvd3dgs_tpu.utils.video import load_image
 
-    img = imageio.imread(os.path.join(basedir, "rgb", "rgb_0.png"))
+    img = load_image(os.path.join(basedir, "rgb", "rgb_0.png"))
     H, W = img.shape[:2]
     focal = W / 2.0 / math.tan(math.radians(90 / 2.0))  # hfov 90
     K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]])

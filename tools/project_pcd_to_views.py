@@ -26,7 +26,7 @@ from guidedvd3dgs_tpu.scene.ply import fetch_ply
 
 
 def main():
-    import imageio.v2 as imageio
+    from guidedvd3dgs_tpu.utils.video import save_image
 
     p = argparse.ArgumentParser()
     p.add_argument("--source", required=True)
@@ -60,8 +60,8 @@ def main():
         image, mask = project_point_cloud_to_image(
             pts, cols, K, w2c, cam.width, cam.height
         )
-        imageio.imwrite(os.path.join(out_dir, f"{img_id}.png"), image)
-        imageio.imwrite(os.path.join(out_dir, f"{img_id}_mask.png"), mask * 255)
+        save_image(image.astype(np.float32) / 255.0, os.path.join(out_dir, f"{img_id}.png"))
+        save_image(mask.astype("float32"), os.path.join(out_dir, f"{img_id}_mask.png"))
         print(f"view {img_id}: {int(mask.sum())} px covered")
 
 

@@ -73,8 +73,18 @@ def main():
     parser.add_argument("--vgg19_weights", type=str, default=None)
     parser.add_argument("--test_iterations", nargs="+", type=int, default=[10_000])
     parser.add_argument("--save_iterations", nargs="+", type=int, default=[10_000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--seed", type=int, default=1)
+    # two-renderer variant: a SECOND frozen baseline decides the guidance
+    # mask while --baseline_path provides rgb/depth (reference
+    # train_replica_guidedvd_tworenderer.py:60-74)
+    parser.add_argument("--mask_baseline_path", type=str, default=None)
+    parser.add_argument("--mask_baseline_iteration", type=int, default=10_000)
+    # hybrid-traj variant: first epoch of diffusion events uses the fixed
+    # loop2 txt trajectory (reference train_scannetpp_guidedvd_hybrid_traj.py:318)
+    parser.add_argument("--hybrid_traj", action="store_true")
+    parser.add_argument("--profile_dir", type=str, default=None)
     args = parser.parse_args()
 
     dataset = ModelParams.extract(args)
@@ -102,6 +112,14 @@ def main():
     frozen_state = base_scene.create_gaussians(max_sh_degree=dataset.sh_degree)
     frozen = FrozenRenderer(frozen_state, sh_degree=dataset.sh_degree,
                             backend=getattr(pipe, "raster_backend", "auto"))
+    frozen_mask = None
+    if args.mask_baseline_path:
+        mask_args = dataclasses.replace(dataset, model_path=args.mask_baseline_path)
+        mask_scene = Scene(mask_args, load_iteration=args.mask_baseline_iteration)
+        mask_state = mask_scene.create_gaussians(max_sh_degree=dataset.sh_degree)
+        frozen_mask = FrozenRenderer(mask_state, sh_degree=dataset.sh_degree,
+                                     backend=getattr(pipe, "raster_backend", "auto"))
+        print(f"Two-renderer variant: guidance mask from {args.mask_baseline_path}")
 
     cams = scene.getTrainCameras()
     h, w = cams[0].image_height, cams[0].image_width
@@ -115,6 +133,22 @@ def main():
         print("WARNING: pseudo_cam_lpips requested but VGG19 weights not found "
               "(set VGG19_WEIGHTS); the perceptual pseudo term is DISABLED.")
 
+    # guidance-side LPIPS term (reference LossGuidance lpips_guidance,
+    # viewcrafter_wrapper.py:85-88,158-160)
+    import jax.numpy as jnp
+
+    if getattr(opt, "guidance_with_lpips", False) and vgg_fn is not None:
+        if hasattr(engine, "lpips_fn"):
+            engine.lpips_fn = lambda d, g, m: vgg_fn(
+                jnp.transpose(d, (2, 0, 1))[None], jnp.transpose(g, (2, 0, 1))[None]
+            )
+    if hasattr(engine, "ssim_guidance"):
+        engine.ssim_guidance = getattr(opt, "guidance_with_ssim", False)
+    if hasattr(engine, "w_recon"):
+        engine.w_recon = opt.w_guidance_recon_loss
+    if hasattr(engine, "scale_weight_mode"):
+        engine.scale_weight_mode = getattr(opt, "scale_guidance_weight", False)
+
     pcd = scene.scene_info.point_cloud
     trainer = GuidedTrainer(
         scene, state, opt, pipe, dataset,
@@ -124,13 +158,21 @@ def main():
         guidance_intrinsic=K,
         vgg_loss_fn=vgg_fn,
         seed=args.seed,
+        frozen_mask=frozen_mask,
+        hybrid_traj=args.hybrid_traj,
     )
+    from guidedvd3dgs_tpu.train.logging import MetricsLogger
+
+    trainer.attach_logger(MetricsLogger(dataset.model_path))
     print("Building trajectory pool ...")
     trainer.init_trajectory_pool()
     trainer.train(
         iterations=opt.iterations,
         test_iterations=set(args.test_iterations),
         saving_iterations=set(args.save_iterations),
+        checkpoint_iterations=set(args.checkpoint_iterations),
+        checkpoint_dir=dataset.model_path,
+        profile_dir=args.profile_dir,
     )
     print("\nGuided training complete.")
 
