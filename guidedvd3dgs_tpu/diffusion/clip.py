@@ -110,7 +110,11 @@ def image_preprocess(images: jnp.ndarray) -> jnp.ndarray:
 def image_encode(p: Params, cfg: VisionConfig, images: jnp.ndarray) -> jnp.ndarray:
     """images: (B, H, W, 3) in [-1, 1] -> (B, 1 + grid^2, width) token
     features WITHOUT ln_post (the V2 embedder, condition.py:341-373)."""
-    x = image_preprocess(images)
+    return image_encode_preprocessed(p, cfg, image_preprocess(images))
+
+
+def image_encode_preprocessed(p: Params, cfg: VisionConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Vision tower on already CLIP-normalized (B, S, S, 3) input."""
     w = p["conv1.weight"].astype(x.dtype)  # OIHW, stride=patch, no bias
     ps = cfg.patch_size
     x = jax.lax.conv_general_dilated(

@@ -16,8 +16,6 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from guidedvd3dgs_tpu.utils import sh as sh_utils
-from guidedvd3dgs_tpu.utils.general import covariance_from_scaling_rotation
 
 NEAR_CLIP = 0.2  # reference: auxiliary.h in_frustum (p_view.z <= 0.2 culled)
 COV2D_DILATION = 0.3  # low-pass filter, reference: forward.cu:229-231
@@ -69,55 +67,134 @@ def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
     return ((v + 1.0) * size - 1.0) * 0.5
 
 
+def _cov3d_components(scales, scale_modifier, rotations):
+    """Σ = R S Sᵀ Rᵀ as six (…,) component arrays [xx, xy, xz, yy, yz, zz]
+    (reference computeCov3D, forward.cu:118-154; scalarized so XLA keeps
+    everything elementwise on the VPU — (N, 3, 3) intermediates would be
+    lane-padded ~14x and batched-matmul'd on TPU)."""
+    q = rotations
+    norm = jnp.sqrt(
+        q[..., 0] * q[..., 0] + q[..., 1] * q[..., 1]
+        + q[..., 2] * q[..., 2] + q[..., 3] * q[..., 3]
+    )
+    r = q[..., 0] / norm
+    x = q[..., 1] / norm
+    y = q[..., 2] / norm
+    z = q[..., 3] / norm
+    R = (
+        (1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)),
+        (2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)),
+        (2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)),
+    )
+    s = (
+        scale_modifier * scales[..., 0],
+        scale_modifier * scales[..., 1],
+        scale_modifier * scales[..., 2],
+    )
+    # L = R diag(s); Σ_ab = Σ_j L[a][j] L[b][j] = Σ_j s_j² R[a][j] R[b][j]
+    s2 = (s[0] * s[0], s[1] * s[1], s[2] * s[2])
+
+    def sig(a, b):
+        return (
+            s2[0] * R[a][0] * R[b][0]
+            + s2[1] * R[a][1] * R[b][1]
+            + s2[2] * R[a][2] * R[b][2]
+        )
+
+    return (sig(0, 0), sig(0, 1), sig(0, 2), sig(1, 1), sig(1, 2), sig(2, 2))
+
+
+def compute_cov2d_components(tx, ty, tz, cov3d, cam: RasterCamera):
+    """EWA projection of 3D covariance to 2D (reference: forward.cu:75-118),
+    scalarized. (tx, ty, tz) is the view-space position; cov3d is the
+    6-tuple of component arrays. Returns (cov_xx, cov_xy, cov_yy) with the
+    +0.3 dilation applied."""
+    focal_x = cam.width / (2.0 * cam.tanfovx)
+    focal_y = cam.height / (2.0 * cam.tanfovy)
+    limx = 1.3 * cam.tanfovx
+    limy = 1.3 * cam.tanfovy
+    txtz = jnp.clip(tx / tz, -limx, limx) * tz
+    tytz = jnp.clip(ty / tz, -limy, limy) * tz
+
+    # J columns 0/1 (column 2 is all zero and never contributes):
+    # J[0][0] = fx/tz, J[1][1] = fy/tz,
+    # J[2][0] = -fx·tx/tz², J[2][1] = -fy·ty/tz²
+    j00 = focal_x / tz
+    j11 = focal_y / tz
+    j20 = -(focal_x * txtz) / (tz * tz)
+    j21 = -(focal_y * tytz) / (tz * tz)
+
+    # T[r][c] = Σ_k W[r][k] J[k][c] with W = viewmatrix[:3,:3] (constants)
+    W = cam.viewmatrix[:3, :3]
+    u = tuple(W[r, 0] * j00 + W[r, 2] * j20 for r in range(3))  # T[:,0]
+    v = tuple(W[r, 1] * j11 + W[r, 2] * j21 for r in range(3))  # T[:,1]
+
+    c0, c1, c2, c3, c4, c5 = cov3d  # xx xy xz yy yz zz
+
+    def quad(a, b):
+        return (
+            c0 * a[0] * b[0]
+            + c3 * a[1] * b[1]
+            + c5 * a[2] * b[2]
+            + c1 * (a[0] * b[1] + a[1] * b[0])
+            + c2 * (a[0] * b[2] + a[2] * b[0])
+            + c4 * (a[1] * b[2] + a[2] * b[1])
+        )
+
+    return (quad(u, u) + COV2D_DILATION, quad(u, v), quad(v, v) + COV2D_DILATION)
+
+
+def _eval_sh_channels(deg: int, sh48, dx, dy, dz):
+    """Scalarized SH evaluation: sh48 is a list of (deg+1)² basis slots, each
+    a 3-tuple of (…,) channel arrays; returns 3 channel arrays
+    (reference utils/sh_utils.py:22-80 / forward.cu:20-71; the rasterizer
+    caps at degree 3 like the CUDA path)."""
+    from guidedvd3dgs_tpu.utils.sh import C0, C1, C2, C3
+
+    assert 0 <= deg <= 3
+    basis = [jnp.full_like(dx, C0)]
+    if deg > 0:
+        basis += [-C1 * dy, C1 * dz, -C1 * dx]
+        if deg > 1:
+            xx, yy, zz = dx * dx, dy * dy, dz * dz
+            xy, yz, xz = dx * dy, dy * dz, dx * dz
+            basis += [
+                C2[0] * xy, C2[1] * yz, C2[2] * (2.0 * zz - xx - yy),
+                C2[3] * xz, C2[4] * (xx - yy),
+            ]
+            if deg > 2:
+                basis += [
+                    C3[0] * dy * (3 * xx - yy),
+                    C3[1] * xy * dz,
+                    C3[2] * dy * (4 * zz - xx - yy),
+                    C3[3] * dz * (2 * zz - 3 * xx - 3 * yy),
+                    C3[4] * dx * (4 * zz - xx - yy),
+                    C3[5] * dz * (xx - yy),
+                    C3[6] * dx * (xx - 3 * yy),
+                ]
+    out = []
+    for ch in range(3):
+        acc = basis[0] * sh48[0][ch]
+        for k in range(1, len(basis)):
+            acc = acc + basis[k] * sh48[k][ch]
+        out.append(acc)
+    return out
+
+
 def compute_cov2d(
     means3d: jnp.ndarray,
     cov3d: jnp.ndarray,
     cam: RasterCamera,
 ) -> jnp.ndarray:
-    """EWA projection of 3D covariance to 2D (reference: forward.cu:75-118).
-
-    cov3d: (N, 6) packed [xx, xy, xz, yy, yz, zz]. Returns (N, 3)
-    [cov_xx, cov_xy, cov_yy] with the +0.3 dilation applied.
-    """
+    """(N, 6)-packed cov3d -> (N, 3) [cov_xx, cov_xy, cov_yy] (kept for the
+    dense-oracle API; delegates to the scalarized implementation)."""
     ones = jnp.ones((*means3d.shape[:-1], 1), means3d.dtype)
     t = (jnp.concatenate([means3d, ones], -1) @ cam.viewmatrix)[..., :3]
-
-    focal_x = cam.width / (2.0 * cam.tanfovx)
-    focal_y = cam.height / (2.0 * cam.tanfovy)
-    limx = 1.3 * cam.tanfovx
-    limy = 1.3 * cam.tanfovy
-    tz = t[..., 2]
-    txtz = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
-    tytz = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
-
-    zeros = jnp.zeros_like(tz)
-    # J rows follow the glm column-major construction in the reference
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x / tz, zeros, zeros], -1),
-            jnp.stack([zeros, focal_y / tz, zeros], -1),
-            jnp.stack([-(focal_x * txtz) / (tz * tz), -(focal_y * tytz) / (tz * tz), zeros], -1),
-        ],
-        axis=-2,
-    )  # (N, 3, 3)
-
-    W = cam.viewmatrix[:3, :3]  # math-layout W of the reference glm code
-    T = jnp.einsum("rc,ncd->nrd", W, J)
-
-    c = cov3d
-    Vrk = jnp.stack(
-        [
-            jnp.stack([c[..., 0], c[..., 1], c[..., 2]], -1),
-            jnp.stack([c[..., 1], c[..., 3], c[..., 4]], -1),
-            jnp.stack([c[..., 2], c[..., 4], c[..., 5]], -1),
-        ],
-        axis=-2,
+    comps = compute_cov2d_components(
+        t[..., 0], t[..., 1], t[..., 2],
+        tuple(cov3d[..., i] for i in range(6)), cam,
     )
-    cov = jnp.einsum("nrc,nrd,nde->nce", T, Vrk, T)  # T^T Vrk T
-    return jnp.stack(
-        [cov[..., 0, 0] + COV2D_DILATION, cov[..., 0, 1], cov[..., 1, 1] + COV2D_DILATION],
-        axis=-1,
-    )
+    return jnp.stack(comps, axis=-1)
 
 
 def preprocess_gaussians(
@@ -141,43 +218,56 @@ def preprocess_gaussians(
     capacity-padding rows of the fixed-size Gaussian state (TPU addition; in
     the reference all rows are real).
     """
-    ones = jnp.ones((*means3d.shape[:-1], 1), means3d.dtype)
-    homog = jnp.concatenate([means3d, ones], -1)
-    p_view = (homog @ cam.viewmatrix)[..., :3]
-    p_hom = homog @ cam.projmatrix
-    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
-    p_proj = p_hom[..., :3] * p_w[..., None]
+    # Scalarized throughout: every quantity is a (…,) component array so XLA
+    # keeps the whole preprocess a single fused elementwise pass (packing
+    # into (N, 3)/(N, 3, 3) intermediates would lane-pad 14-42x on TPU and
+    # turn the tiny per-Gaussian matmuls into batched dots).
+    mx, my, mz = means3d[..., 0], means3d[..., 1], means3d[..., 2]
+    V, P = cam.viewmatrix, cam.projmatrix
 
-    in_front = p_view[..., 2] > NEAR_CLIP
+    def xform(mat, col):
+        return mx * mat[0, col] + my * mat[1, col] + mz * mat[2, col] + mat[3, col]
+
+    tvx, tvy, tvz = xform(V, 0), xform(V, 1), xform(V, 2)
+    ph_x, ph_y, ph_w = xform(P, 0), xform(P, 1), xform(P, 3)
+    p_w = 1.0 / (ph_w + 1e-7)
+
+    in_front = tvz > NEAR_CLIP
 
     if cov3d_precomp is None:
-        cov3d = covariance_from_scaling_rotation(scales, scale_modifier, rotations)
+        cov3d = _cov3d_components(scales, scale_modifier, rotations)
     else:
-        cov3d = cov3d_precomp
-    cov2d = compute_cov2d(means3d, cov3d, cam)
+        cov3d = tuple(cov3d_precomp[..., i] for i in range(6))
+    cxx, cxy, cyy = compute_cov2d_components(tvx, tvy, tvz, cov3d, cam)
 
-    det = cov2d[..., 0] * cov2d[..., 2] - cov2d[..., 1] * cov2d[..., 1]
+    det = cxx * cyy - cxy * cxy
     det_ok = det != 0.0
-    det_safe = jnp.where(det_ok, det, 1.0)
-    det_inv = 1.0 / det_safe
-    conic = jnp.stack(
-        [cov2d[..., 2] * det_inv, -cov2d[..., 1] * det_inv, cov2d[..., 0] * det_inv], axis=-1
-    )
+    det_inv = 1.0 / jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([cyy * det_inv, -cxy * det_inv, cxx * det_inv], axis=-1)
 
-    mid = 0.5 * (cov2d[..., 0] + cov2d[..., 2])
+    mid = 0.5 * (cxx + cyy)
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))
 
     means2d = jnp.stack(
-        [ndc2pix(p_proj[..., 0], cam.width), ndc2pix(p_proj[..., 1], cam.height)], axis=-1
+        [ndc2pix(ph_x * p_w, cam.width), ndc2pix(ph_y * p_w, cam.height)], axis=-1
     )
 
     if colors_precomp is None:
-        dirs = means3d - cam.campos
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        # shs: (N, K, 3) -> eval per channel; reference stores (K, 3) per point
-        color = sh_utils.eval_sh(sh_degree, jnp.swapaxes(shs, -1, -2), dirs) + 0.5
-        color = jnp.maximum(color, 0.0)
+        dx = mx - cam.campos[0]
+        dy = my - cam.campos[1]
+        dz = mz - cam.campos[2]
+        inv_n = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
+        n_coef = (sh_degree + 1) ** 2
+        sh48 = [
+            (shs[..., k, 0], shs[..., k, 1], shs[..., k, 2]) for k in range(n_coef)
+        ]
+        r, g, b = _eval_sh_channels(sh_degree, sh48, dx, dy, dz)
+        color = jnp.stack(
+            [jnp.maximum(r + 0.5, 0.0), jnp.maximum(g + 0.5, 0.0), jnp.maximum(b + 0.5, 0.0)],
+            axis=-1,
+        )
     else:
         color = colors_precomp
 
@@ -187,7 +277,7 @@ def preprocess_gaussians(
     radii = jnp.where(visible, radius, 0.0).astype(jnp.int32)
     return ProcessedGaussians(
         means2d=means2d,
-        depths=p_view[..., 2],
+        depths=tvz,
         conics=conic,
         radii=radii,
         colors=color,

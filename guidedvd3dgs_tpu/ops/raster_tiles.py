@@ -513,19 +513,34 @@ def _raster_bwd(static_cfg, height, width, res, cotangents):
     )
 
     n = means3d.shape[0]
-    ids = binning.inst_gauss  # (M,) n => padding
-    # Materialize the transpose before reducing: without the barrier XLA
-    # fuses it into the scatters, which then read (16, M)-strided columns
-    # per update — measured 565 ms vs 95 ms at 4M instances. One 16-wide
-    # scatter-add (deterministic replacement for the CUDA atomicAdd,
-    # backward.cu:555-598), then cheap N-sized column slices.
-    gi = jax.lax.optimization_barrier(grad_inst.T)  # (M, NUM_FIELDS)
-    acc = jnp.zeros((n, NUM_FIELDS), jnp.float32).at[ids].add(gi, mode="drop")
-    d_m2d = acc[:, 0:2]
-    d_conic = acc[:, 2:5]
-    d_opac = acc[:, F_OP]
-    d_color = acc[:, F_R : F_R + 3]
-    d_depth = acc[:, F_D]
+    m = binning.inst_gauss.shape[0]
+    # Per-Gaussian reduction WITHOUT an XLA scatter (deterministic
+    # replacement for the CUDA atomicAdd, backward.cu:555-598). TPU
+    # scatter-add costs ~290 ms at 4M instances; instead: one stable
+    # sort keyed by gaussian id regroups the 10 live grad rows into
+    # contiguous per-Gaussian segments (the key order equals the binning
+    # cumsum structure, so segment boundaries are binning.gauss_offset /
+    # gauss_cum), then a lane cumsum + two boundary gathers compute every
+    # segment sum. Measured ~3x faster than the best scatter formulation.
+    ops = (binning.inst_gauss,) + tuple(grad_inst[i] for i in range(10))
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    pre = jnp.stack(sorted_ops[1:], axis=0)  # (10, M) grouped by gaussian
+    P = jnp.cumsum(pre, axis=1)
+    cum = binning.gauss_cum
+    offs = binning.gauss_offset
+    hi = jnp.take(P, jnp.clip(cum - 1, 0, m - 1), axis=1)  # (10, N)
+    lo = jnp.where(
+        (offs > 0)[None, :],
+        jnp.take(P, jnp.clip(offs - 1, 0, m - 1), axis=1),
+        0.0,
+    )
+    empty = (cum == offs)[None, :]
+    acc = jnp.where(empty, 0.0, hi - lo)  # (10, N)
+    d_m2d = acc[0:2].T
+    d_conic = acc[2:5].T
+    d_opac = acc[F_OP]
+    d_color = acc[F_R : F_R + 3].T
+    d_depth = acc[F_D]
 
     cam = RasterCamera(viewmatrix, projmatrix, campos, tanfovx, tanfovy, height, width)
 

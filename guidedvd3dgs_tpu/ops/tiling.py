@@ -41,6 +41,8 @@ class TileBinning(NamedTuple):
     tile_count: jnp.ndarray  # (num_tiles,) int32
     num_instances: jnp.ndarray  # () int32 total real instances (pre-drop)
     overflow: jnp.ndarray  # () int32 instances dropped by capacity
+    gauss_offset: jnp.ndarray  # (N,) int32 exclusive per-Gaussian instance cumsum
+    gauss_cum: jnp.ndarray  # (N,) int32 inclusive per-Gaussian instance cumsum
     grid_x: int
     grid_y: int
 
@@ -153,6 +155,8 @@ def bin_gaussians(
         tile_count=tile_count,
         num_instances=total.astype(jnp.int32),
         overflow=jnp.maximum(total - m, 0).astype(jnp.int32),
+        gauss_offset=offsets,
+        gauss_cum=cum,
         grid_x=gx,
         grid_y=gy,
     )
