@@ -2,12 +2,18 @@
 """Benchmark: Pallas tile rasterizer fwd+bwd at 1M splats, 320x448.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra diagnostics (fwd-only ms, demand, tracebacks on failure) go to
+BENCH_DETAIL.json next to this file and stderr.
 
 The reference ships no kernel-level numbers (SURVEY.md §6) — the north-star
 kernel metric is established here and tracked round-over-round; vs_baseline
 is computed against the INRIA CUDA rasterizer's typical ~25 ms fwd+bwd at
 1M visible splats on V100-class hardware (the hardware the reference's 3-4 h
 wall-clock is quoted on), i.e. vs_baseline = 25 / value.
+
+The instance buffer is sized demand*1.3 the way the trainers do (they track
+per-render demand and regrow/shrink with headroom, train/baseline.py
+check_overflow) — the first probe render measures demand.
 """
 
 from __future__ import annotations
@@ -17,6 +23,7 @@ import math
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -31,6 +38,8 @@ import numpy as np
 N = 1_000_000
 H, W = 320, 448
 REFERENCE_MS = 25.0  # V100 CUDA rasterizer ballpark at this load
+ITERS = 8
+DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
 
 
 def make_inputs():
@@ -59,22 +68,47 @@ def make_camera():
     )
 
 
-def bench_fwd_bwd():
-    from guidedvd3dgs_tpu.ops.raster_tiles import rasterize_tiles
+def _timed(rep_fn, args):
+    out = rep_fn(*args)
+    jax.block_until_ready(out)  # compile + warm
+    t0 = time.perf_counter()
+    out = rep_fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / ITERS * 1000.0, out
+
+
+def bench():
+    from guidedvd3dgs_tpu.ops.raster_tiles import CHUNK, rasterize_tiles
 
     cam = make_camera()
     bg = jnp.zeros((3,), jnp.float32)
     args = make_inputs()
 
+    # demand probe -> trainer-style adaptive instance buffer (1.3x headroom)
+    demand = int(
+        jax.jit(lambda *a: rasterize_tiles(*a, cam, bg, sh_degree=3).num_instances)(*args)
+    )
+    mi = -(-int(demand * 1.3) // CHUNK) * CHUNK
+
     def loss(m, s, r, o, sh):
-        out = rasterize_tiles(m, s, r, o, sh, cam, bg, sh_degree=3)
+        out = rasterize_tiles(m, s, r, o, sh, cam, bg, sh_degree=3, max_instances=mi)
         return out.color.sum() + 0.1 * out.depth.sum() + 0.1 * out.alpha.sum()
 
-    vg = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))
-    iters = 8
-
     # repeat inside one jit so host->device dispatch latency (large through
-    # remote-attached TPUs) does not pollute the kernel timing
+    # remote-attached TPUs) does not pollute the timing; the carry perturbs
+    # the inputs so XLA cannot hoist work out of the loop
+    @jax.jit
+    def fwd_rep(m, s, r, o, sh):
+        def body(carry, _):
+            val = loss(m + carry * 0.0, s, r, o, sh)
+            return val * 0.0, val
+
+        return jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)[1]
+
+    fwd_ms, _ = _timed(fwd_rep, args)
+
+    vg = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))
+
     @jax.jit
     def g_rep(m, s, r, o, sh):
         def body(carry, _):
@@ -82,32 +116,43 @@ def bench_fwd_bwd():
             gsum = jnp.stack([jnp.mean(x) for x in jax.tree.leaves(grads)])
             return val * 0.0, (val, gsum)
 
-        _, (vals, grads) = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        _, (vals, grads) = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
         return vals, grads
 
-    out = g_rep(*args)
-    jax.block_until_ready(out)  # compile + warm
-    t0 = time.perf_counter()
-    out = g_rep(*args)
-    jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) / iters * 1000.0
+    ms, out = _timed(g_rep, args)
     finite = all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(out[1]))
+    detail = {
+        "fwd_ms": round(fwd_ms, 3),
+        "fwd_bwd_ms": round(ms, 3),
+        "instance_demand": demand,
+        "max_instances": mi,
+        "grads_finite": finite,
+        "device": str(jax.devices()[0]),
+    }
     if not finite:
-        raise RuntimeError("non-finite gradients in bench")
-    return ms
+        raise RuntimeError(f"non-finite gradients in bench; detail={detail}")
+    return ms, detail
 
 
 def main():
     try:
-        ms = bench_fwd_bwd()
+        ms, detail = bench()
+        with open(DETAIL_PATH, "w") as f:
+            json.dump(detail, f, indent=1)
         print(json.dumps({
             "metric": "raster_fwd_bwd_ms_1m_splats_320x448",
             "value": round(ms, 3),
             "unit": "ms",
             "vs_baseline": round(REFERENCE_MS / ms, 3),
         }))
-    except Exception as e:  # never leave the driver without a JSON line
-        sys.stderr.write(f"bench failed: {type(e).__name__}: {e}\n")
+    except Exception:  # never leave the driver without a JSON line
+        tb = traceback.format_exc()
+        sys.stderr.write(f"bench failed:\n{tb}\n")
+        try:
+            with open(DETAIL_PATH, "w") as f:
+                json.dump({"error": tb}, f, indent=1)
+        except Exception:
+            pass
         print(json.dumps({
             "metric": "raster_fwd_bwd_ms_1m_splats_320x448",
             "value": -1.0,

@@ -107,17 +107,26 @@ def bin_gaussians(
     real = (j < jnp.minimum(total, m)) & (g >= 0)
     gs = jnp.where(real, g, 0)
 
-    # ONE row gather of the per-Gaussian key ingredients (a wide (M, 8)
-    # row gather is ~4x cheaper than 5 independent 1D gathers)
+    # ONE row gather of the per-Gaussian key ingredients (a single wide row
+    # gather is ~4x cheaper than independent 1D gathers). The rect is packed
+    # into one int32 (10 bits each — grids up to 1024 tiles/side), so a row
+    # is 16 bytes: [packed rect, depth key, instance offset, pad].
+    rect_packed = (rmx << 20) | (rmy << 10) | jnp.maximum(rw, 1)
     keytab = jnp.stack(
-        [rmx, rmy, jnp.maximum(rw, 1), dq, offsets,
-         jnp.zeros_like(rmx), jnp.zeros_like(rmx), jnp.zeros_like(rmx)],
-        axis=1,
-    )  # (N, 8) int32
+        [rect_packed, dq, offsets, jnp.zeros_like(rmx)], axis=1
+    )  # (N, 4) int32
     kt = keytab[gs]
-    s = j - kt[:, 4]  # row-major rect position within the Gaussian's rect
-    tile_id = (kt[:, 1] + s // kt[:, 2]) * gx + kt[:, 0] + s % kt[:, 2]
-    key = (tile_id << depth_bits) | kt[:, 3]
+    k_rmx = kt[:, 0] >> 20
+    k_rmy = (kt[:, 0] >> 10) & 0x3FF
+    k_rw = kt[:, 0] & 0x3FF
+    s = j - kt[:, 2]  # row-major rect position within the Gaussian's rect
+    # s // rw and s % rw via exact float math: the VPU has no integer
+    # divide (vector int div lowers to a slow expansion, measured ~35 ms at
+    # 4M lanes). (s + 0.5) / rw floors exactly for 0 <= s < 2^22, rw >= 1.
+    q = jnp.floor((s.astype(jnp.float32) + 0.5) / k_rw.astype(jnp.float32)).astype(jnp.int32)
+    rem = s - q * k_rw
+    tile_id = (k_rmy + q) * gx + k_rmx + rem
+    key = (tile_id << depth_bits) | kt[:, 1]
     keys = jnp.where(real, key, pad_key)
     inst_gauss = jnp.where(real, gs, n)
 

@@ -52,7 +52,7 @@ class StepStats:
         "lambda_dssim",
         "apply_adam",
         "update_stats",
-        "instance_mult",
+        "max_instances",
     ),
     donate_argnames=("state",),
 )
@@ -68,7 +68,7 @@ def train_step(
     backend: str = "auto",
     apply_adam: bool = True,
     update_stats: bool = True,
-    instance_mult: int = 4,
+    max_instances: int = 0,
 ):
     """One baseline optimization step. Returns (state, metrics)."""
     offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
@@ -84,7 +84,7 @@ def train_step(
             means2d_offset=offset,
             use_confidence=use_confidence,
             backend=backend,
-            max_instances=instance_mult * state.capacity,
+            max_instances=max_instances,
         )
         ll1 = l1_loss(r.color, gt_image)
         loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(r.color, gt_image))
@@ -107,6 +107,7 @@ def train_step(
         # tile-instance capacity pressure: dropped instances this render
         # (the reference never drops — trainers regrow on overflow)
         "overflow": r.overflow if r.overflow is not None else jnp.int32(0),
+        "num_instances": r.num_instances if r.num_instances is not None else jnp.int32(0),
     }
     return state, metrics
 
@@ -157,6 +158,10 @@ def densify_cfg(opt, extent: float, iteration: int, max_screen_size: float = 0.0
     )
 
 
+def _round_chunk(x: int, chunk: int = 128) -> int:
+    return max(-(-x // chunk) * chunk, 1 << 14)
+
+
 densify_and_prune_jit = jax.jit(G.densify_and_prune, static_argnames=("cfg",))
 reset_opacity_jit = jax.jit(G.reset_opacity, donate_argnums=0)
 
@@ -181,10 +186,13 @@ class BaselineTrainer:
         self.rng = random.Random(getattr(opt, "seed", 1))
         self.backend = getattr(pipe, "raster_backend", "auto")
         self.ema_loss = 0.0
-        # tile-instance buffer size as a multiple of the Gaussian capacity;
-        # doubled whenever a render reports dropped instances (the jitted
-        # step recompiles at the new static size)
-        self.instance_mult = 4
+        # tile-instance buffer size (static per compile): starts at the
+        # 4x-capacity default, then tracks the measured per-render instance
+        # demand with 1.5x headroom — grown on overflow, shrunk when demand
+        # falls well below (each change recompiles the jitted step, like a
+        # densify capacity regrow)
+        self.max_instances = 0  # 0 => rasterizer default (4x capacity)
+        self._demand_peak = 0
         self.logger = None  # set via attach_logger
 
     def pick_camera(self):
@@ -202,17 +210,26 @@ class BaselineTrainer:
         self.logger = logger
 
     def check_overflow(self, metrics, iteration: int):
-        """Regrow the tile-instance buffer when a render dropped instances
-        (the CUDA reference sizes its buffer exactly and never drops,
-        rasterizer_impl.cu:278-309). Doubling the static multiplier triggers
-        a recompile of the jitted step — rare, like a densify regrow."""
+        """Track per-render instance demand and keep the tile-instance
+        buffer sized demand*1.5 (the CUDA reference sizes its buffer exactly
+        and never drops, rasterizer_impl.cu:278-309). Growing on overflow /
+        shrinking on sustained low demand each trigger one recompile of the
+        jitted step — rare, like a densify regrow."""
         ovf = int(metrics.get("overflow", 0))
+        demand = int(metrics.get("num_instances", 0))
+        self._demand_peak = max(self._demand_peak, demand + ovf)
+        cur = self.max_instances or 4 * self.state.capacity
         if ovf > 0:
-            self.instance_mult *= 2
+            self.max_instances = _round_chunk(int(self._demand_peak * 1.5))
             print(
                 f"[iter {iteration}] tile-instance overflow ({ovf} dropped): "
-                f"instance buffer regrown to {self.instance_mult}x capacity"
+                f"instance buffer regrown to {self.max_instances}"
             )
+        elif iteration % 500 == 0 and self._demand_peak > 0:
+            target = _round_chunk(int(self._demand_peak * 1.5))
+            if target < cur * 0.6 or target > cur:
+                self.max_instances = target
+            self._demand_peak = demand
 
     def step(self, iteration: int) -> StepStats:
         opt = self.opt
@@ -243,7 +260,7 @@ class BaselineTrainer:
             backend=self.backend,
             apply_adam=apply_adam,
             update_stats=update_stats,
-            instance_mult=self.instance_mult,
+            max_instances=self.max_instances,
         )
         self.check_overflow(metrics, iteration)
 

@@ -281,7 +281,7 @@ def make_guided_train_step(
         static_argnames=(
             "sh_degree", "lambda_dssim", "use_confidence", "backend",
             "pseudo_ssim", "apply_adam", "update_stats", "has_pseudo",
-            "instance_mult",
+            "max_instances",
         ),
         donate_argnames=("state",),
     )
@@ -302,12 +302,12 @@ def make_guided_train_step(
         apply_adam: bool = True,
         update_stats: bool = True,
         has_pseudo: bool = True,
-        instance_mult: int = 4,
+        max_instances: int = 0,
     ):
         """Combined train-view + pseudo-view step (reference
         train_guidedvd.py:330-416)."""
         offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
-        max_inst = instance_mult * state.capacity
+        max_inst = max_instances
 
         def loss_fn(params, offset, offset_p):
             r = render_gaussians(
@@ -358,12 +358,14 @@ def make_guided_train_step(
             state = G.adam_step(state, gparams, lrs)
 
         ovf = r.overflow if r.overflow is not None else jnp.int32(0)
+        dem = r.num_instances if r.num_instances is not None else jnp.int32(0)
         if has_pseudo and rp is not None and rp.overflow is not None:
             ovf = ovf + rp.overflow
+            dem = jnp.maximum(dem, rp.num_instances)
         metrics = {
             "loss": loss, "l1": ll1, "pseudo_l1": pl1,
             "psnr": psnr(r.color, gt_image)[0, 0],
-            "overflow": ovf,
+            "overflow": ovf, "num_instances": dem,
         }
         return state, metrics
 
@@ -700,7 +702,7 @@ class GuidedTrainer(BaselineTrainer):
                 backend=self.backend,
                 pseudo_ssim=getattr(opt, "pseudo_cam_ssim", False),
                 apply_adam=apply_adam, update_stats=update_stats,
-                has_pseudo=True, instance_mult=self.instance_mult,
+                has_pseudo=True, max_instances=self.max_instances,
             )
         else:
             self.state, metrics = self._step_fn(
@@ -711,7 +713,7 @@ class GuidedTrainer(BaselineTrainer):
                 use_confidence=getattr(self.pipe, "use_confidence", False),
                 backend=self.backend,
                 apply_adam=apply_adam, update_stats=update_stats,
-                has_pseudo=False, instance_mult=self.instance_mult,
+                has_pseudo=False, max_instances=self.max_instances,
             )
         self.check_overflow(metrics, iteration)
 
