@@ -11,42 +11,44 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from guidedvd3dgs_tpu.diffusion.unet3d import UNetConfig, build_layout
 
 
 class _Init:
+    """Host-side numpy sampling (one jax.random dispatch per tensor costs
+    ~100s for the full 320-channel UNet; numpy does the whole init in ~2s)."""
+
     def __init__(self, rng, scale=0.02):
-        self.rng = rng
+        seed = int(jax.random.randint(rng, (), 0, 2**31 - 1))
+        self.rng = np.random.default_rng(seed)
         self.scale = scale
         self.p: Dict[str, jnp.ndarray] = {}
 
-    def _k(self):
-        self.rng, k = jax.random.split(self.rng)
-        return k
+    def _normal(self, shape):
+        return (self.scale * self.rng.standard_normal(shape)).astype(np.float32)
 
     def linear(self, name, out_d, in_d, bias=True):
-        self.p[f"{name}.weight"] = self.scale * jax.random.normal(self._k(), (out_d, in_d))
+        self.p[f"{name}.weight"] = self._normal((out_d, in_d))
         if bias:
-            self.p[f"{name}.bias"] = jnp.zeros((out_d,))
+            self.p[f"{name}.bias"] = np.zeros((out_d,), np.float32)
 
     def conv2d(self, name, out_c, in_c, k=3):
-        self.p[f"{name}.weight"] = self.scale * jax.random.normal(self._k(), (out_c, in_c, k, k))
-        self.p[f"{name}.bias"] = jnp.zeros((out_c,))
+        self.p[f"{name}.weight"] = self._normal((out_c, in_c, k, k))
+        self.p[f"{name}.bias"] = np.zeros((out_c,), np.float32)
 
     def conv3d(self, name, out_c, in_c, kshape):
-        self.p[f"{name}.weight"] = self.scale * jax.random.normal(
-            self._k(), (out_c, in_c) + kshape
-        )
-        self.p[f"{name}.bias"] = jnp.zeros((out_c,))
+        self.p[f"{name}.weight"] = self._normal((out_c, in_c) + kshape)
+        self.p[f"{name}.bias"] = np.zeros((out_c,), np.float32)
 
     def conv1d(self, name, out_c, in_c):
-        self.p[f"{name}.weight"] = self.scale * jax.random.normal(self._k(), (out_c, in_c, 1))
-        self.p[f"{name}.bias"] = jnp.zeros((out_c,))
+        self.p[f"{name}.weight"] = self._normal((out_c, in_c, 1))
+        self.p[f"{name}.bias"] = np.zeros((out_c,), np.float32)
 
     def norm(self, name, c):
-        self.p[f"{name}.weight"] = jnp.ones((c,))
-        self.p[f"{name}.bias"] = jnp.zeros((c,))
+        self.p[f"{name}.weight"] = np.ones((c,), np.float32)
+        self.p[f"{name}.bias"] = np.zeros((c,), np.float32)
 
 
 def _attn_block(ini: _Init, pre: str, dim: int, ctx: int, image_cross: bool):
@@ -97,10 +99,8 @@ def _res(ini: _Init, pre: str, in_ch: int, out_ch: int, temb: int, temporal: boo
     ini.norm(f"{pre}.out_layers.0", out_ch)
     ini.conv2d(f"{pre}.out_layers.3", out_ch, out_ch)
     if in_ch != out_ch:
-        ini.p[f"{pre}.skip_connection.weight"] = 0.02 * jax.random.normal(
-            ini._k(), (out_ch, in_ch, 1, 1)
-        )
-        ini.p[f"{pre}.skip_connection.bias"] = jnp.zeros((out_ch,))
+        ini.p[f"{pre}.skip_connection.weight"] = ini._normal((out_ch, in_ch, 1, 1))
+        ini.p[f"{pre}.skip_connection.bias"] = np.zeros((out_ch,), np.float32)
     if temporal:
         tc = f"{pre}.temopral_conv"
         ini.norm(f"{tc}.conv1.0", out_ch)

@@ -33,7 +33,6 @@ def main():
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
-    parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of steps 50-60 here")
     args = parser.parse_args()

@@ -75,7 +75,6 @@ def main():
     parser.add_argument("--save_iterations", nargs="+", type=int, default=[10_000])
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--quiet", action="store_true")
-    parser.add_argument("--seed", type=int, default=1)
     # two-renderer variant: a SECOND frozen baseline decides the guidance
     # mask while --baseline_path provides rgb/depth (reference
     # train_replica_guidedvd_tworenderer.py:60-74)

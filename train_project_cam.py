@@ -37,7 +37,6 @@ def main():
     parser.add_argument("--save_iterations", nargs="+", type=int, default=[10_000])
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--quiet", action="store_true")
-    parser.add_argument("--seed", type=int, default=1)
     args = parser.parse_args()
 
     dataset = ModelParams.extract(args)
