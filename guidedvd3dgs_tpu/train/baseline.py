@@ -112,6 +112,85 @@ def train_step(
     return state, metrics
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sh_degree", "use_confidence", "backend", "lambda_dssim", "max_instances",
+    ),
+    donate_argnames=("state",),
+)
+def train_steps_chunk(
+    state: G.GaussianState,
+    rcs: RasterCamera,  # stacked train cameras, leaves (V, ...)
+    gts: jnp.ndarray,  # (V, 3, H, W)
+    cam_idx: jnp.ndarray,  # (K,) int32 per-step camera index
+    xyz_lrs: jnp.ndarray,  # (K,) per-step scheduled xyz LR
+    apply_adam: jnp.ndarray,  # (K,) bool
+    update_stats: jnp.ndarray,  # (K,) bool
+    bg: jnp.ndarray,
+    lrs: G.LearningRates,  # xyz overridden per step
+    sh_degree: int,
+    lambda_dssim: float,
+    use_confidence: bool = False,
+    backend: str = "auto",
+    max_instances: int = 0,
+):
+    """K baseline steps in ONE device dispatch (lax.scan over the step body).
+
+    Identical per-step semantics to `train_step`; the host loop calls this
+    between schedule events (densify/reset/eval all land on chunk
+    boundaries). Exists because per-step host dispatch dominates wall-clock
+    on remotely-attached TPUs (~0.5 s/step latency vs ~15 ms compute)."""
+
+    def body(state, per):
+        idx, lr_xyz, do_adam, do_stats = per
+        cam = jax.tree.map(lambda a: a[idx], rcs)
+        gt = gts[idx]
+        offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
+
+        def loss_fn(params, offset):
+            r = render_gaussians(
+                params, state.active, state.confidence, cam, bg, sh_degree,
+                means2d_offset=offset, use_confidence=use_confidence,
+                backend=backend, max_instances=max_instances,
+            )
+            ll1 = l1_loss(r.color, gt)
+            loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(r.color, gt))
+            return loss, (r, ll1)
+
+        (loss, (r, ll1)), (gparams, goffset) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, offset0)
+
+        def with_stats(s):
+            s = G.update_max_radii(s, r.radii, r.visibility_filter)
+            return G.add_densification_stats(s, goffset, r.visibility_filter)
+
+        state = jax.lax.cond(do_stats, with_stats, lambda s: s, state)
+        state = jax.lax.cond(
+            do_adam,
+            lambda s: G.adam_step(s, gparams, lrs._replace(xyz=lr_xyz)),
+            lambda s: s,
+            state,
+        )
+        metrics = (
+            loss, ll1, psnr(r.color, gt)[0, 0],
+            r.overflow if r.overflow is not None else jnp.int32(0),
+            r.num_instances if r.num_instances is not None else jnp.int32(0),
+        )
+        return state, metrics
+
+    state, (losses, l1s, psnrs, ovfs, dems) = jax.lax.scan(
+        body, state, (cam_idx, xyz_lrs, apply_adam, update_stats)
+    )
+    metrics = {
+        "loss": losses[-1], "l1": l1s[-1], "psnr": psnrs[-1],
+        "loss_mean": losses.mean(),
+        "overflow": ovfs.max(), "num_instances": dems.max(),
+    }
+    return state, metrics
+
+
 @partial(jax.jit, static_argnames=("sh_degree", "backend"))
 def eval_render(
     state: G.GaussianState,
@@ -299,6 +378,138 @@ class BaselineTrainer:
             psnrs.append(float(psnr(img, gt)[0, 0]))
             l1s.append(float(l1_loss(img, gt)))
         return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))} if psnrs else {}
+
+    def _stacked_train_cams(self):
+        if getattr(self, "_stacked", None) is None:
+            from guidedvd3dgs_tpu.parallel.data_parallel import stack_cameras
+
+            cams = list(self.scene.getTrainCameras())
+            rcs = stack_cameras([c.raster_camera() for c in cams])
+            gts = jnp.stack([jnp.asarray(c.image) for c in cams])
+            self._stacked = (rcs, gts, len(cams))
+        return self._stacked
+
+    def _next_cam_idx(self) -> int:
+        if not getattr(self, "_idx_stack", None):
+            self._idx_stack = list(range(self._stacked[2]))
+        return self._idx_stack.pop(self.rng.randint(0, len(self._idx_stack) - 1))
+
+    def train_scan(
+        self,
+        iterations=None,
+        log_every=100,
+        test_iterations=(),
+        saving_iterations=(),
+        checkpoint_iterations=(),
+        checkpoint_dir=None,
+        start_iteration=0,
+    ):
+        """Chunked trainer: identical schedule semantics to `train` but runs
+        up to densification_interval steps per device dispatch via
+        `train_steps_chunk` — per-step host dispatch costs ~0.5 s through a
+        remotely-attached TPU, making the classic loop latency-bound."""
+        opt = self.opt
+        iterations = iterations or opt.iterations
+        rcs, gts, n_cams = self._stacked_train_cams()
+        t0 = time.time()
+
+        # chunk boundaries: all host-side events land here. "after step it"
+        # events are multiples of densification_interval / reset / eval /
+        # save; the SH-degree bump happens BEFORE step k*500, so k*500-1 is
+        # also a stop while the degree is still climbing.
+        stops = set()
+        stops.update(range(0, iterations + 1, opt.densification_interval))
+        stops.update(range(0, iterations + 1, opt.opacity_reset_interval))
+        sh_last = min(500 * self.max_sh_degree, iterations)
+        stops.update(x - 1 for x in range(500, sh_last + 1, 500))
+        stops.update(range(500, sh_last + 1, 500))
+        stops.update(int(x) for x in test_iterations)
+        stops.update(int(x) for x in saving_iterations)
+        stops.update(int(x) for x in checkpoint_iterations)
+        stops.add(iterations)
+        bounds = sorted(x for x in stops if start_iteration < x <= iterations)
+
+        it0 = start_iteration
+        for it1 in bounds:
+            # SH bump before the step at multiples of 500 (reference
+            # train_baseline.py:65-67); k*500-1 is a stop, so the k*500 step
+            # always begins a chunk while the degree is climbing
+            if (it0 + 1) % 500 == 0 and self.active_sh_degree < self.max_sh_degree:
+                self.active_sh_degree += 1
+
+            k = it1 - it0
+            its = np.arange(it0 + 1, it1 + 1)
+            cam_idx = np.asarray([self._next_cam_idx() for _ in range(k)], np.int32)
+            xyz_lrs = np.asarray([self.xyz_sched(i - 1) for i in its], np.float32)
+            do_densify = (
+                (its < opt.densify_until_iter)
+                & (its > opt.densify_from_iter)
+                & (its % opt.densification_interval == 0)
+            )
+            apply_adam = (its < iterations) & ~do_densify
+            update_stats = its < opt.densify_until_iter
+
+            self.state, metrics = train_steps_chunk(
+                self.state, rcs, gts,
+                jnp.asarray(cam_idx), jnp.asarray(xyz_lrs),
+                jnp.asarray(apply_adam), jnp.asarray(update_stats),
+                self.bg, lrs_for(opt, 0.0),
+                sh_degree=self.active_sh_degree,
+                lambda_dssim=opt.lambda_dssim,
+                use_confidence=getattr(self.pipe, "use_confidence", False),
+                backend=self.backend,
+                max_instances=self.max_instances,
+            )
+            self.check_overflow(metrics, it1)
+            self.xyz_lr = self.xyz_sched(it1)
+            self.ema_loss = float(metrics["loss_mean"])
+
+            if (
+                it1 < opt.densify_until_iter
+                and it1 > opt.densify_from_iter
+                and it1 % opt.densification_interval == 0
+            ):
+                cfg = densify_cfg(opt, self.scene.cameras_extent, it1)
+                self.state = densify_and_prune_jit(self.state, jax.random.key(it1), cfg)
+                self.maybe_grow()
+            if it1 % opt.opacity_reset_interval == 0:
+                self.state = reset_opacity_jit(self.state)
+
+            if log_every and it1 % log_every == 0:
+                rate = (it1 - start_iteration) / (time.time() - t0)
+                print(
+                    f"[{it1}/{iterations}] loss={float(metrics['loss']):.5f} "
+                    f"psnr={float(metrics['psnr']):.2f} "
+                    f"n={int(self.state.num_active())} {rate:.1f} it/s",
+                    flush=True,
+                )
+                if self.logger is not None:
+                    self.logger.scalars(
+                        it1,
+                        {
+                            "loss": float(metrics["loss"]), "l1": float(metrics["l1"]),
+                            "psnr": float(metrics["psnr"]),
+                            "total_points": int(self.state.num_active()),
+                            "it_per_s": rate,
+                        },
+                        prefix="train/",
+                    )
+            if it1 in test_iterations:
+                m = self.evaluate(self.scene.getTestCameras())
+                if m:
+                    print(f"[ITER {it1}] test psnr {m['psnr']:.3f} l1 {m['l1']:.4f}")
+                    if self.logger is not None:
+                        self.logger.scalars(it1, m, prefix="test/")
+            if it1 in saving_iterations:
+                self.scene.save(it1, self.state)
+            if it1 in checkpoint_iterations and checkpoint_dir:
+                from guidedvd3dgs_tpu.train.checkpoint import save_checkpoint
+
+                path = f"{checkpoint_dir}/chkpnt{it1}.ckpt"
+                save_checkpoint(path, self.state, it1)
+                print(f"[ITER {it1}] saved checkpoint {path}")
+            it0 = it1
+        return self.state
 
     def train(
         self,

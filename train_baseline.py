@@ -35,6 +35,8 @@ def main():
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of steps 50-60 here")
+    parser.add_argument("--no_scan", action="store_true",
+                        help="per-step host loop instead of the chunked scan")
     args = parser.parse_args()
 
     dataset = ModelParams.extract(args)
@@ -61,15 +63,18 @@ def main():
 
     trainer = BaselineTrainer(scene, state, opt, pipe, dataset)
     trainer.attach_logger(MetricsLogger(dataset.model_path))
-    trainer.train(
+    kwargs = dict(
         iterations=opt.iterations,
         test_iterations=set(args.test_iterations),
         saving_iterations=set(args.save_iterations),
         checkpoint_iterations=set(args.checkpoint_iterations),
         checkpoint_dir=dataset.model_path,
         start_iteration=first_iter,
-        profile_dir=args.profile_dir,
     )
+    if args.no_scan or args.profile_dir:
+        trainer.train(profile_dir=args.profile_dir, **kwargs)
+    else:
+        trainer.train_scan(**kwargs)
     print("\nTraining complete.")
 
 
