@@ -83,6 +83,10 @@ def main():
     # hybrid-traj variant: first epoch of diffusion events uses the fixed
     # loop2 txt trajectory (reference train_scannetpp_guidedvd_hybrid_traj.py:318)
     parser.add_argument("--hybrid_traj", action="store_true")
+    # DPT (MiDaS) weights for the append_pcd_from_video_diffusion path
+    # (reference utils/midas_depth_estimator.py:9-39; HF DPTForDepthEstimation
+    # checkpoint, .safetensors or .bin — e.g. Intel/dpt-large)
+    parser.add_argument("--dpt_weights", type=str, default=None)
     parser.add_argument("--profile_dir", type=str, default=None)
     args = parser.parse_args()
 
@@ -148,6 +152,21 @@ def main():
     if hasattr(engine, "scale_weight_mode"):
         engine.scale_weight_mode = getattr(opt, "scale_guidance_weight", False)
 
+    depth_estimator = None
+    if getattr(opt, "append_pcd_from_video_diffusion", False):
+        if args.dpt_weights:
+            from guidedvd3dgs_tpu.guidance.dpt import (
+                DPTConfig, load_hf_dpt_weights, make_depth_estimator,
+            )
+
+            depth_estimator = make_depth_estimator(
+                {k: jnp.asarray(v) for k, v in load_hf_dpt_weights(args.dpt_weights).items()},
+                DPTConfig(),
+            )
+        else:
+            print("WARNING: append_pcd_from_video_diffusion needs --dpt_weights "
+                  "(HF DPTForDepthEstimation ckpt); the append path is DISABLED.")
+
     pcd = scene.scene_info.point_cloud
     trainer = GuidedTrainer(
         scene, state, opt, pipe, dataset,
@@ -159,6 +178,7 @@ def main():
         seed=args.seed,
         frozen_mask=frozen_mask,
         hybrid_traj=args.hybrid_traj,
+        depth_estimator=depth_estimator,
     )
     from guidedvd3dgs_tpu.train.logging import MetricsLogger
 
