@@ -42,6 +42,10 @@ class LatentDiffusionConfig:
     use_dynamic_rescale: bool = True
     base_scale: float = 0.3
     uncond_type: str = "empty_seq"
+    # UNet compute dtype ("bfloat16" for full-size single-chip inference —
+    # the reference runs the UNet under fp16 autocast, viewcrafter.py:101;
+    # sampler/schedule math stays float32 regardless)
+    compute_dtype: str = "float32"
 
     def schedule(self) -> DiffusionSchedule:
         return make_schedule(
@@ -72,8 +76,12 @@ def apply_model(
     """Hybrid conditioning: channel-concat + cross-attn
     (reference ddpm3d.py:723-738 apply_model + :1447-1452 hybrid branch).
     Returns the v prediction."""
+    cd = jnp.dtype(cfg.compute_dtype)
     xc = jnp.concatenate([x_noisy, cond.concat.astype(x_noisy.dtype)], axis=-1)
-    return unet_apply(params.unet, cfg.unet, xc, t, cond.context, fs=cond.fs)
+    v = unet_apply(
+        params.unet, cfg.unet, xc.astype(cd), t, cond.context.astype(cd), fs=cond.fs
+    )
+    return v.astype(x_noisy.dtype)
 
 
 def encode_video_frames(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from guidedvd3dgs_tpu.diffusion.attention import spatial_transformer, temporal_transformer
@@ -59,6 +60,10 @@ class UNetConfig:
     fs_condition: bool = True
     text_context_len: int = 77
     image_tokens_per_frame: int = 16
+    # rematerialize each UNet block in the backward pass (jax.checkpoint):
+    # required for the guided-DDIM vjp through the full 320-channel model at
+    # 25x40x56 to fit single-chip HBM (trades ~30% FLOPs for activations)
+    remat: bool = False
 
 
 # block descriptors: (kind, prefix, meta)
@@ -259,9 +264,16 @@ def unet_apply(
     h = x.reshape(b * t, hh, ww, x.shape[-1])
 
     input_blocks, middle, output_blocks = build_layout(cfg)
+
+    def _block(layers):
+        def f(p, h, emb, context):
+            return _apply_layers(p, layers, h, emb, context, cfg, b)
+
+        return jax.checkpoint(f) if cfg.remat else f
+
     hs = []
     for i, layers in enumerate(input_blocks):
-        h = _apply_layers(p, layers, h, emb, context, cfg, b)
+        h = _block(layers)(p, h, emb, context)
         if i == 0 and cfg.addition_attention:
             # init_attn: TemporalTransformer with conv1d projections
             # (reference :389-400, use_linear defaults False there)
@@ -276,11 +288,11 @@ def unet_apply(
             h = hv.reshape(bt, ph, pw, c)
         hs.append(h)
 
-    h = _apply_layers(p, middle, h, emb, context, cfg, b)
+    h = _block(middle)(p, h, emb, context)
 
     for layers in output_blocks:
         h = jnp.concatenate([h, hs.pop()], axis=-1)
-        h = _apply_layers(p, layers, h, emb, context, cfg, b)
+        h = _block(layers)(p, h, emb, context)
 
     y = conv2d(p, "out.2", silu(group_norm(p, "out.0", h)))
     return y.reshape(b, t, hh, ww, cfg.out_channels)

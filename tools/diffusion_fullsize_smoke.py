@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Full-size diffusion memory/throughput smoke on one TPU chip.
+
+Validates the real ViewCrafter workload shape (BASELINE.md: 320x448x25
+video, model_channels 320, context 1024, ViT-H conditioning; the reference
+needs ~32 GB fp16-autocast on V100) with random weights:
+
+  stage A: conditioning build (CLIP text+image, resampler, per-frame VAE
+           encode) + ONE cond/uncond UNet forward (bf16 compute)
+  stage B: ONE guided DDIM step — vjp through the UNet pair + per-frame
+           differentiable VAE decode (remat'd UNet blocks)
+  stage C (--full): a complete 50-step guided sample
+
+Prints per-stage wall-clock + device memory stats. Run serialized — this
+host has ONE CPU core and compiles are expensive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def mem_stats():
+    try:
+        s = jax.devices()[0].memory_stats()
+        return {
+            "bytes_in_use_gb": round(s.get("bytes_in_use", 0) / 2**30, 2),
+            "peak_bytes_gb": round(s.get("peak_bytes_in_use", 0) / 2**30, 2),
+        }
+    except Exception:
+        return {}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true", help="also run the 50-step sample")
+    ap.add_argument("--frames", type=int, default=25)
+    ap.add_argument("--height", type=int, default=320)
+    ap.add_argument("--width", type=int, default=448)
+    ap.add_argument("--steps", type=int, default=50)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from guidedvd3dgs_tpu.diffusion.init import init_diffusion_params
+    from guidedvd3dgs_tpu.diffusion.model import LatentDiffusionConfig, apply_model
+    from guidedvd3dgs_tpu.diffusion.synthesis import (
+        SynthesisConfig, build_conditioning, image_guided_synthesis,
+    )
+    from guidedvd3dgs_tpu.diffusion.samplers.ddim_guidance import GuidedSampleConfig
+    from guidedvd3dgs_tpu.guidance.loss_guidance import make_guidance_fn, resize_guidance
+
+    T, H, W = args.frames, args.height, args.width
+    mcfg = LatentDiffusionConfig(compute_dtype="bfloat16")
+    mcfg = dataclasses.replace(
+        mcfg,
+        unet=dataclasses.replace(mcfg.unet, temporal_length=T, remat=True),
+    )
+    scfg = SynthesisConfig(ddim_steps=args.steps)
+
+    print("initializing random full-size params ...", flush=True)
+    t0 = time.time()
+    params = init_diffusion_params(mcfg, scfg, jax.random.key(0))
+    tot = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
+    print(f"  {tot/1e6:.0f}M params in {time.time()-t0:.0f}s", flush=True)
+    # bf16 weights on device (the reference holds fp32 master + autocast;
+    # inference-only here, so bf16 storage halves HBM)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    jax.block_until_ready(jax.tree.leaves(params)[0])
+    print(f"  placed bf16: {mem_stats()}", flush=True)
+
+    rng = jax.random.key(1)
+    video = jax.random.uniform(jax.random.key(2), (T, H, W, 3)) * 2.0 - 1.0
+
+    # --- stage A: conditioning + one UNet fwd -------------------------------
+    t0 = time.time()
+    cond, uncond = build_conditioning(params, mcfg, scfg, video, rng)
+    jax.block_until_ready(cond.context)
+    print(f"A1 conditioning built in {time.time()-t0:.0f}s {mem_stats()}", flush=True)
+
+    x = jax.random.normal(jax.random.key(3), (1, T, H // 8, W // 8, 4))
+
+    fwd = jax.jit(lambda x, t: apply_model(params, mcfg, x, t, cond))
+    t0 = time.time()
+    v = fwd(x, jnp.asarray([500]))
+    jax.block_until_ready(v)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    v = fwd(x, jnp.asarray([500]))
+    jax.block_until_ready(v)
+    print(
+        f"A2 UNet fwd: compile {compile_s:.0f}s, run {1000*(time.time()-t0):.0f}ms, "
+        f"finite={bool(jnp.isfinite(v.astype(jnp.float32)).all())} {mem_stats()}",
+        flush=True,
+    )
+
+    # --- stage B: one guided DDIM step --------------------------------------
+    from guidedvd3dgs_tpu.diffusion.samplers.ddim_guidance import _guided_step
+    from guidedvd3dgs_tpu.diffusion.schedules import make_ddim_params
+
+    gi = jax.random.uniform(jax.random.key(4), (T, 3, H, W))
+    buffers = resize_guidance(gi, H, W, masks=jnp.ones((T, 1, H, W)),
+                              depths=jnp.ones((T, 1, H, W)))
+    guidance_fn = make_guidance_fn(buffers)
+
+    sched = mcfg.schedule()
+    pr = make_ddim_params(sched, scfg.ddim_steps, eta=scfg.ddim_eta,
+                          method=scfg.timestep_spacing)
+
+    gcfg = GuidedSampleConfig(cfg_scale=scfg.cfg_scale,
+                              guidance_rescale=scfg.guidance_rescale)
+    step_fn = jax.jit(
+        lambda x, i, key: _guided_step(
+            params, mcfg, sched, pr, cond, uncond, gcfg, guidance_fn,
+            jnp.float32(1.0), x, i, key,
+        )
+    )
+    t0 = time.time()
+    out = step_fn(x, jnp.int32(scfg.ddim_steps - 1), jax.random.key(5))
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    out = step_fn(x, jnp.int32(scfg.ddim_steps - 1), jax.random.key(5))
+    jax.block_until_ready(out)
+    xp = out[0]
+    print(
+        f"B guided step: compile {compile_s:.0f}s, run {time.time()-t0:.1f}s, "
+        f"finite={bool(jnp.isfinite(xp.astype(jnp.float32)).all())} {mem_stats()}",
+        flush=True,
+    )
+
+    if args.full:
+        t0 = time.time()
+        frames = image_guided_synthesis(
+            params, mcfg, scfg, video, jax.random.key(6),
+            guidance_fn=guidance_fn, guided_cfg=GuidedSampleConfig(),
+        )
+        jax.block_until_ready(frames)
+        print(
+            f"C full {scfg.ddim_steps}-step guided sample: {time.time()-t0:.0f}s, "
+            f"finite={bool(jnp.isfinite(frames.astype(jnp.float32)).all())} {mem_stats()}",
+            flush=True,
+        )
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "DIFFUSION_SMOKE.json"), "w") as f:
+        json.dump({"params_m": round(tot / 1e6), "mem": mem_stats(),
+                   "shape": [T, H, W]}, f, indent=1)
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()
