@@ -33,6 +33,7 @@ from guidedvd3dgs_tpu.diffusion.model import (
 )
 from guidedvd3dgs_tpu.diffusion.resampler import ResamplerConfig, resampler_apply
 from guidedvd3dgs_tpu.diffusion.samplers.ddim import ddim_sample
+from guidedvd3dgs_tpu.diffusion.samplers.ddim_multicond import ddim_sample_multicond
 from guidedvd3dgs_tpu.diffusion.samplers.ddim_guidance import (
     GuidanceFn,
     GuidedSampleConfig,
@@ -48,6 +49,10 @@ class SynthesisConfig:
     cfg_scale: float = 7.5
     guidance_rescale: float = 0.7
     timestep_spacing: str = "uniform_trailing"
+    # Two-scale CFG (reference --multiple_cond_cfg/--cfg_img,
+    # configs/infer_config.py:45-46). cfg_img None -> cfg_scale.
+    multiple_cond_cfg: bool = False
+    cfg_img: Optional[float] = None
     fs: int = 10
     prompt: str = "Rotating view of a scene"
     text_config: clip_mod.TextConfig = field(default_factory=clip_mod.TextConfig)
@@ -90,7 +95,12 @@ def build_conditioning(
     uncond = Conditioning(
         context=jnp.concatenate([txt_uc, img_emb_uc], axis=1), concat=z, fs=fs
     )
-    return cond, uncond
+    # "image yes, text empty" for two-scale CFG (reference
+    # diffusion_utils.py:177-181 uc_2).
+    uncond_img = Conditioning(
+        context=jnp.concatenate([txt_uc, img_emb], axis=1), concat=z, fs=fs
+    )
+    return cond, uncond, uncond_img
 
 
 def image_guided_synthesis(
@@ -110,25 +120,39 @@ def image_guided_synthesis(
         sched, scfg.ddim_steps, eta=scfg.ddim_eta, method=scfg.timestep_spacing
     )
     rng, ck, sk = jax.random.split(rng, 3)
-    cond, uncond = build_conditioning(params, mcfg, scfg, video, ck,
-                                      prompt_tokens=prompt_tokens)
+    cond, uncond, uncond_img = build_conditioning(
+        params, mcfg, scfg, video, ck, prompt_tokens=prompt_tokens
+    )
 
     t, h, w, _ = video.shape
     lh, lw = cond.concat.shape[2], cond.concat.shape[3]
     rng, nk = jax.random.split(rng)
     x_T = jax.random.normal(nk, (1, t, lh, lw, 4), jnp.float32)
 
-    if guidance_fn is None:
+    if guidance_fn is None or scfg.multiple_cond_cfg:
         def ap_c(x, ts):
             return apply_model(params, mcfg, x, ts, cond)
 
         def ap_u(x, ts):
             return apply_model(params, mcfg, x, ts, uncond)
 
-        x0 = ddim_sample(
-            sched, pr, ap_c, ap_u, x_T, sk,
-            cfg_scale=scfg.cfg_scale, guidance_rescale=scfg.guidance_rescale,
-        )
+        if scfg.multiple_cond_cfg:
+            # Two-scale CFG path; upstream's multicond sampler ignores
+            # scene-grounding guidance (ddim_multiplecond.py is no_grad).
+            def ap_ui(x, ts):
+                return apply_model(params, mcfg, x, ts, uncond_img)
+
+            cfg_img = scfg.cfg_scale if scfg.cfg_img is None else scfg.cfg_img
+            x0 = ddim_sample_multicond(
+                sched, pr, ap_c, ap_u, ap_ui, x_T, sk,
+                cfg_text=scfg.cfg_scale, cfg_img=cfg_img,
+                guidance_rescale=scfg.guidance_rescale,
+            )
+        else:
+            x0 = ddim_sample(
+                sched, pr, ap_c, ap_u, x_T, sk,
+                cfg_scale=scfg.cfg_scale, guidance_rescale=scfg.guidance_rescale,
+            )
     else:
         gcfg = guided_cfg._replace(
             cfg_scale=scfg.cfg_scale, guidance_rescale=scfg.guidance_rescale

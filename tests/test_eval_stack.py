@@ -104,3 +104,19 @@ def test_checkpoint_roundtrip(tmp_path):
     assert it == 1234
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_plot_images_grid(tmp_path):
+    from guidedvd3dgs_tpu.utils.vis import plot_images
+
+    n, h, w = 4, 12, 16
+    imgs = np.random.default_rng(0).uniform(size=(n, h, w, 3)).astype(np.float32)
+    wm = np.random.default_rng(1).normal(size=(n - 2, h, w)).astype(np.float32)
+    out = str(tmp_path / "grid.png")
+    plot_images(imgs, wm, out)
+    import cv2
+
+    img = cv2.imread(out)
+    assert img is not None
+    # two rows of (h + 2*pad), n columns of (w + pad) + pad
+    assert img.shape == (2 * (h + 4), n * (w + 2) + 2, 3)

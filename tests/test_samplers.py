@@ -177,3 +177,44 @@ def test_vae_roundtrip_shapes(tiny):
     d = decode_video_frames(params, cfg, z)
     assert d.shape == (2, 8, 8, 3)
     assert bool(jnp.isfinite(d).all())
+
+
+def test_multicond_reduces_to_plain_cfg_when_uncond_img_is_uncond():
+    """With apply_uncond_img == apply_uncond and cfg_img == cfg_text the
+    two-scale combine u + s_i*(ui-u) + s_t*(c-ui) collapses to plain CFG
+    u + s*(c-u) (reference ddim_multiplecond.py:233-235), so the multicond
+    sampler must match ddim_sample bit-for-bit on the same rng."""
+    from guidedvd3dgs_tpu.diffusion.samplers.ddim_multicond import (
+        ddim_sample_multicond,
+    )
+
+    sched = S.make_schedule()
+    pr = S.make_ddim_params(sched, 6, eta=1.0, method="uniform_trailing")
+    shape = (1, 2, 8, 8, 4)
+    w_c = jax.random.normal(jax.random.key(10), shape) * 0.05
+    w_u = jax.random.normal(jax.random.key(11), shape) * 0.05
+
+    def ap_c(x, ts):
+        return 0.1 * x + w_c
+
+    def ap_u(x, ts):
+        return 0.1 * x + w_u
+
+    x_T = jax.random.normal(jax.random.key(12), shape)
+    key = jax.random.key(13)
+    ref = ddim_sample(sched, pr, ap_c, ap_u, x_T, key, cfg_scale=7.5,
+                      guidance_rescale=0.7)
+    got = ddim_sample_multicond(sched, pr, ap_c, ap_u, ap_u, x_T, key,
+                                cfg_text=7.5, cfg_img=7.5,
+                                guidance_rescale=0.7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=0)
+
+    # A distinct image-uncond branch must change the output and stay finite.
+    def ap_ui(x, ts):
+        return 0.1 * x + 0.5 * (w_c + w_u)
+
+    got2 = ddim_sample_multicond(sched, pr, ap_c, ap_u, ap_ui, x_T, key,
+                                 cfg_text=7.5, cfg_img=1.2,
+                                 guidance_rescale=0.7)
+    assert bool(jnp.isfinite(got2).all())
+    assert not np.allclose(np.asarray(got2), np.asarray(ref))

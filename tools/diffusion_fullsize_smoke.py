@@ -88,7 +88,7 @@ def main():
 
     # --- stage A: conditioning + one UNet fwd -------------------------------
     t0 = time.time()
-    cond, uncond = build_conditioning(params, mcfg, scfg, video, rng)
+    cond, uncond, _ = build_conditioning(params, mcfg, scfg, video, rng)
     jax.block_until_ready(cond.context)
     print(f"A1 conditioning built in {time.time()-t0:.0f}s {mem_stats()}", flush=True)
 
