@@ -5,9 +5,12 @@ TPU-native replacement for the reference CUDA tile rasterizer
 backward.cu:416-601 bwd). Architecture:
 
   preprocess (pure JAX, ops/projection.py)
-    -> tile binning (pure JAX: scatter + lax.sort, ops/tiling.py)
+    -> tile binning (pure JAX: scatter + lax.sort, ops/tiling.py); every
+       tile's instance segment starts CHUNK-aligned, so each CHUNK block of
+       the instance buffer belongs to exactly one tile
     -> Pallas FWD kernel: one grid step per 16x16 tile; per-instance data
-       streamed HBM->VMEM in 128-instance chunks; blending vectorized as
+       streamed HBM->VMEM in 128-instance chunks with double-buffered DMA
+       (chunk c+1 in flight while c blends); blending vectorized as
        (CHUNK, 256)-shaped VPU math with the sequential front-to-back
        transmittance recurrence rewritten as chunk-local cumulative products
        (lower-triangular MXU matmuls), early-exiting when every pixel
@@ -15,10 +18,10 @@ backward.cu:416-601 bwd). Architecture:
     -> Pallas BWD kernel: same streaming structure; per-pixel suffix sums
        S_i = U - prefix_i with U = C*dC + D*dD + A*dA reconstructed from the
        forward outputs, so nothing per-instance is stored between passes.
-       Each instance belongs to exactly ONE tile, so per-instance gradients
-       are written race-free to contiguous slices (the CUDA version needs
-       atomics here; the TPU grid is sequential and we read-modify-write
-       only at 128-aligned chunk seams)
+       Each CHUNK belongs to exactly ONE tile, so per-instance gradients
+       are pure double-buffered DMA stores (the CUDA version needs atomics
+       here); the gradient buffer is pre-zeroed via input-output aliasing
+       so chunks skipped by the early exit stay zero
     -> per-Gaussian reduction: deterministic scatter-add over instance ids
        (replaces CUDA atomicAdd), then the preprocess VJP (plain JAX AD)
        maps screen-space gradients back to Gaussian parameters.
@@ -42,6 +45,7 @@ from guidedvd3dgs_tpu.ops import tiling
 from guidedvd3dgs_tpu.ops.projection import RasterCamera, preprocess_gaussians
 from guidedvd3dgs_tpu.ops.raster_dense import RenderOutput
 from guidedvd3dgs_tpu.ops.tiling import (
+    CHUNK,
     F_CA,
     F_CB,
     F_CC,
@@ -53,8 +57,6 @@ from guidedvd3dgs_tpu.ops.tiling import (
     NUM_FIELDS,
     TILE,
 )
-
-CHUNK = 128
 TILE_PIX = TILE * TILE
 ALPHA_EPS = 1.0 / 255.0
 T_EPS = 1e-4
@@ -132,21 +134,27 @@ def _fwd_kernel(
     # outputs (VMEM blocks)
     out_ref,  # (1, 8, TILE_PIX): rows 0-2 color, 3 depth, 4 alpha, 5-7 pad
     # scratch
-    chunk_vmem,  # (NUM_FIELDS, CHUNK)
+    chunk_vmem,  # (2, NUM_FIELDS, CHUNK) double buffer
     state_vmem,  # (8, TILE_PIX): 0 T, 1-3 accC, 4 accD, 5 accA, 6 done, 7 pad
     done_smem,  # (1,) int32
-    sem,
+    sem,  # DMA sems, shape (2,)
     *,
     gx: int,
 ):
     t = pl.program_id(0)
-    start = tile_start_ref[t]
+    start = tile_start_ref[t]  # CHUNK-aligned (tiling.bin_gaussians)
     count = tile_count_ref[t]
-    astart = (start // CHUNK) * CHUNK
-    nch = pl.cdiv(start + count - astart, CHUNK)
+    nch = pl.cdiv(count, CHUNK)
 
     pixx, pixy = _pixel_coords(t, gx)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+
+    def copy_in(c, slot):
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            chunk_vmem.at[slot],
+            sem.at[slot],
+        )
 
     # Mosaic rejects vector while-loop carries whose layouts differ between
     # the init and body producers (scf.yield legalization), so the per-pixel
@@ -157,17 +165,25 @@ def _fwd_kernel(
     state_vmem[1:8] = jnp.zeros((7, TILE_PIX), jnp.float32)
     done_smem[0] = 0
 
+    @pl.when(nch > 0)
+    def _():
+        copy_in(0, 0).start()
+
     def cond(c):
         return (c < nch) & (done_smem[0] == 0)
 
     def body(c):
-        off = astart + c * CHUNK
-        cp = pltpu.make_async_copy(inst_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem, sem)
-        cp.start()
-        cp.wait()
-        data = chunk_vmem[:, :].T  # (CHUNK, NUM_FIELDS)
+        slot = jax.lax.rem(c, 2)
+        copy_in(c, slot).wait()
+
+        @pl.when(c + 1 < nch)
+        def _():
+            copy_in(c + 1, 1 - slot).start()
+
+        off = start + c * CHUNK
+        data = chunk_vmem[slot].T  # (CHUNK, NUM_FIELDS)
         idx = off + col_idx
-        valid = (idx >= start) & (idx < start + count)
+        valid = idx < start + count
 
         T = state_vmem[0:1]
         done = state_vmem[6:7] > 0.5
@@ -188,7 +204,13 @@ def _fwd_kernel(
         done_smem[0] = jnp.all(done_new).astype(jnp.int32)
         return c + 1
 
-    jax.lax.while_loop(cond, body, jnp.int32(0))
+    c_exit = jax.lax.while_loop(cond, body, jnp.int32(0))
+
+    # Early exit leaves the prefetched copy for chunk c_exit in flight;
+    # drain it so the semaphore is clean for the next grid step.
+    @pl.when(c_exit < nch)
+    def _():
+        copy_in(c_exit, jax.lax.rem(c_exit, 2)).wait()
 
     T = state_vmem[0:1]
     accC = state_vmem[1:4]
@@ -226,10 +248,10 @@ def _run_fwd(inst_data, tile_start, tile_count, bg, gx: int, gy: int):
         ],
         out_specs=pl.BlockSpec((1, 8, TILE_PIX), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((NUM_FIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),
             pltpu.VMEM((8, TILE_PIX), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     packed = pl.pallas_call(
@@ -253,24 +275,38 @@ def _bwd_kernel(
     inst_ref,  # (NUM_FIELDS, M) ANY
     fwd_ref,  # (1, 8, TILE_PIX): rows 0-2 C, 3 D, 4 A
     cot_ref,  # (1, 8, TILE_PIX): rows 0-2 dC, 3 dD, 4 dA
-    grad_ref,  # (NUM_FIELDS, M) ANY output
-    chunk_vmem,  # (NUM_FIELDS, CHUNK)
-    gchunk_vmem,  # (NUM_FIELDS, CHUNK)
+    zeros_ref,  # (NUM_FIELDS, M) ANY, aliased onto grad_ref (unused)
+    grad_ref,  # (NUM_FIELDS, M) ANY output, pre-zeroed via io-aliasing
+    chunk_vmem,  # (2, NUM_FIELDS, CHUNK) input double buffer
+    gchunk_vmem,  # (2, NUM_FIELDS, CHUNK) output double buffer
     state_vmem,  # (8, TILE_PIX): 0 T, 1 prefix, 2 done, 3-7 pad
     done_smem,  # (1,) int32
-    sem,
-    gsem,
+    sem,  # (2,) input DMA sems
+    gsem,  # (2,) output DMA sems
     *,
     gx: int,
 ):
     t = pl.program_id(0)
-    start = tile_start_ref[t]
+    start = tile_start_ref[t]  # CHUNK-aligned (tiling.bin_gaussians)
     count = tile_count_ref[t]
-    astart = (start // CHUNK) * CHUNK
-    nch = pl.cdiv(start + count - astart, CHUNK)
+    nch = pl.cdiv(count, CHUNK)
 
     pixx, pixy = _pixel_coords(t, gx)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+
+    def copy_in(c, slot):
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            chunk_vmem.at[slot],
+            sem.at[slot],
+        )
+
+    def copy_out(c, slot):
+        return pltpu.make_async_copy(
+            gchunk_vmem.at[slot],
+            grad_ref.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            gsem.at[slot],
+        )
 
     dC = cot_ref[0, 0:3, :]
     dD = cot_ref[0, 3:4, :]
@@ -287,17 +323,25 @@ def _bwd_kernel(
     state_vmem[1:8] = jnp.zeros((7, TILE_PIX), jnp.float32)  # prefix, done, pad
     done_smem[0] = 0
 
+    @pl.when(nch > 0)
+    def _():
+        copy_in(0, 0).start()
+
     def cond(c):
         return (c < nch) & (done_smem[0] == 0)
 
     def body(c):
-        off = astart + c * CHUNK
-        cp = pltpu.make_async_copy(inst_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem, sem)
-        cp.start()
-        cp.wait()
-        data = chunk_vmem[:, :].T  # (CHUNK, NUM_FIELDS)
+        slot = jax.lax.rem(c, 2)
+        copy_in(c, slot).wait()
+
+        @pl.when(c + 1 < nch)
+        def _():
+            copy_in(c + 1, 1 - slot).start()
+
+        off = start + c * CHUNK
+        data = chunk_vmem[slot].T  # (CHUNK, NUM_FIELDS)
         idx = off + col_idx
-        valid = (idx >= start) & (idx < start + count)
+        valid = idx < start + count
 
         T = state_vmem[0:1]
         prefix = state_vmem[1:2]
@@ -339,18 +383,16 @@ def _bwd_kernel(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col, d_d, zeros], axis=1
         )
 
-        # read-modify-write the (NUM_FIELDS, CHUNK) block: preserve lanes
-        # written by earlier tiles (idx < start), zero the seam we own
-        rd = pltpu.make_async_copy(grad_ref.at[:, pl.ds(off, CHUNK)], gchunk_vmem, gsem)
-        rd.start()
-        rd.wait()
-        old = gchunk_vmem[:, :]
-        idx_lane = off + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        merged = jnp.where(idx_lane < start, old, 0.0) + gout.T
-        gchunk_vmem[:, :] = merged
-        wr = pltpu.make_async_copy(gchunk_vmem, grad_ref.at[:, pl.ds(off, CHUNK)], gsem)
-        wr.start()
-        wr.wait()
+        # Pure store: the chunk belongs to this tile alone (CHUNK-aligned
+        # segments), and skipped chunks stay zero (pre-zeroed aliased
+        # output). Wait for the store issued from this buffer two
+        # iterations ago before overwriting it.
+        @pl.when(c >= 2)
+        def _():
+            copy_out(c - 2, slot).wait()
+
+        gchunk_vmem[slot] = gout.T
+        copy_out(c, slot).start()
 
         state_vmem[0:1] = q["T_out"]
         state_vmem[1:2] = prefix + jnp.sum(wu, axis=0, keepdims=True)
@@ -361,22 +403,20 @@ def _bwd_kernel(
 
     c_exit = jax.lax.while_loop(cond, body, jnp.int32(0))
 
-    # Zero-fill the chunks the early exit skipped: grad_ref is an ANY/HBM
-    # output, so unvisited slots are uninitialized garbage that the
-    # per-Gaussian scatter-add would ingest (finite on CPU interpret mode,
-    # non-finite on real TPU). Skipped chunks always have c >= 1 (chunk 0
-    # runs whenever nch > 0), so every lane is >= start and a plain zero
-    # write is safe — no seam with the previous tile to preserve.
-    gchunk_vmem[:, :] = jnp.zeros((NUM_FIELDS, CHUNK), jnp.float32)
+    # Drain outstanding DMAs so semaphores are clean for the next grid step:
+    # the prefetched input for chunk c_exit (early exit only) and the last
+    # one or two gradient stores, in issue order.
+    @pl.when(c_exit < nch)
+    def _():
+        copy_in(c_exit, jax.lax.rem(c_exit, 2)).wait()
 
-    def zbody(c):
-        off = astart + c * CHUNK
-        wr = pltpu.make_async_copy(gchunk_vmem, grad_ref.at[:, pl.ds(off, CHUNK)], gsem)
-        wr.start()
-        wr.wait()
-        return c + 1
+    @pl.when(c_exit >= 2)
+    def _():
+        copy_out(c_exit - 2, jax.lax.rem(c_exit - 2, 2)).wait()
 
-    jax.lax.while_loop(lambda c: c < nch, zbody, c_exit)
+    @pl.when(c_exit >= 1)
+    def _():
+        copy_out(c_exit - 1, jax.lax.rem(c_exit - 1, 2)).wait()
 
 
 def _run_bwd(
@@ -400,24 +440,31 @@ def _run_bwd(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 8, TILE_PIX), bmap),
             pl.BlockSpec((1, 8, TILE_PIX), bmap),
+            pl.BlockSpec(memory_space=pl.ANY),  # zeroed grad buffer (aliased)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((NUM_FIELDS, CHUNK), jnp.float32),
-            pltpu.VMEM((NUM_FIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),
             pltpu.VMEM((8, TILE_PIX), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # The grad output lives in ANY/HBM and the kernel only writes the chunks
+    # the early exit visits; alias it to a zeros input so skipped chunks are
+    # zero, not uninitialized HBM (input index 5 counts the two
+    # scalar-prefetch operands).
+    grad_zeros = jnp.zeros((NUM_FIELDS, m), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NUM_FIELDS, m), jnp.float32),
         interpret=_INTERPRET[0],
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_count, inst_data, fwd_packed, cot_packed)
+    )(tile_start, tile_count, inst_data, fwd_packed, cot_packed, grad_zeros)
 
 
 # ----------------------------------------------------------------------------

@@ -29,6 +29,7 @@ import numpy as np
 from guidedvd3dgs_tpu.ops.projection import ProcessedGaussians
 
 TILE = 16  # matches reference BLOCK_X/BLOCK_Y (config.h:16-17)
+CHUNK = 128  # kernel streaming granularity; tile segments are CHUNK-aligned
 NUM_FIELDS = 16  # packed per-instance rows (10 used, padded for tiling)
 # field row indices in the packed instance array
 F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_D = range(10)
@@ -134,8 +135,29 @@ def bin_gaussians(
 
     tile_bounds = (jnp.arange(num_tiles + 1, dtype=jnp.int32) << depth_bits)
     starts = jnp.searchsorted(keys, tile_bounds, side="left").astype(jnp.int32)
-    tile_start = starts[:-1]
+    sort_start = starts[:-1]
     tile_count = starts[1:] - starts[:-1]
+
+    # Re-scatter each tile's (sorted) segment to a CHUNK-aligned start so
+    # every CHUNK-sized block of the instance buffer belongs to exactly one
+    # tile. The blend kernels then stream whole chunks with no inter-tile
+    # seams: the backward writes its per-instance gradients as pure DMA
+    # stores (no read-modify-write at chunk boundaries). Padding slots point
+    # at gaussian id n (zero fields -> alpha 0 -> no contribution).
+    m_pad = m + num_tiles * CHUNK
+    aligned = ((tile_count + CHUNK - 1) // CHUNK) * CHUNK
+    tile_start = jnp.cumsum(aligned) - aligned  # exclusive, CHUNK-aligned
+    tile_of = jnp.minimum(keys >> depth_bits, num_tiles)  # pads -> num_tiles
+    start_ext = jnp.concatenate([tile_start, jnp.zeros((1,), jnp.int32)])
+    sstart_ext = jnp.concatenate([sort_start, jnp.zeros((1,), jnp.int32)])
+    newpos = jnp.where(
+        tile_of < num_tiles,
+        start_ext[tile_of] + (j - sstart_ext[tile_of]),
+        m_pad,
+    )
+    inst_gauss = jnp.full((m_pad,), n, jnp.int32).at[newpos].set(
+        inst_gauss, mode="drop"
+    )
 
     # ONE row gather of the packed render fields from an (N+1, NUM_FIELDS)
     # table (row n = zeros, read by padding slots), then relayout to
