@@ -117,3 +117,27 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def profile_reduce_variants():
+    """Compare the 11-op-sort vs 2-op-sort+row-gather reductions."""
+    from guidedvd3dgs_tpu.ops import raster_tiles as rt
+    from bench import make_camera, make_inputs
+
+    cam = make_camera()
+    means, scales, rots, opac, shs = make_inputs()
+    proc = jax.jit(lambda *a: preprocess_gaussians(*a, cam, sh_degree=3))(
+        means, scales, rots, opac, shs
+    )
+    b = jax.jit(lambda p: tiling.bin_gaussians(p, W, H, M))(proc)
+    m_pad = b.inst_gauss.shape[0]
+    rng = np.random.default_rng(0)
+    gi = jnp.asarray(rng.normal(size=(NUM_FIELDS, m_pad)).astype(np.float32))
+
+    for name in ("sort11", "gather"):
+        rt.set_reduce_variant(name)
+        timeit(f"reduce variant {name}", rt._reduce_per_gaussian, gi, b)
+
+
+if __name__ == "__main__" and os.environ.get("REDUCE_VARIANTS"):
+    profile_reduce_variants()
