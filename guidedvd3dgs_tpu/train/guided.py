@@ -44,6 +44,7 @@ from guidedvd3dgs_tpu.ops.point_splat import splat_points_world
 from guidedvd3dgs_tpu.ops.projection import RasterCamera
 from guidedvd3dgs_tpu.scene.cameras import PseudoCamera, camera_from_w2c_K
 from guidedvd3dgs_tpu.train.baseline import (
+    StepStats,
     BaselineTrainer,
     densify_cfg,
     densify_and_prune_jit,
@@ -118,13 +119,18 @@ class MockDiffusionEngine:
     guided trainer run end-to-end in tests and in environments without the
     ViewCrafter checkpoint."""
 
-    def __init__(self, video_length=25, height=320, width=448):
+    def __init__(self, video_length=25, height=320, width=448, device=None):
         self.video_length = video_length
         self.height = height
         self.width = width
+        self.device = device
 
     def generate(self, pc_renders, guidance_images, guidance_masks,
                  guidance_depths, rng, no_guidance=False, scale_guidance_weight=1.0):
+        if self.device is not None:
+            pc_renders, guidance_images, guidance_masks = jax.device_put(
+                (pc_renders, guidance_images, guidance_masks), self.device
+            )
         t = guidance_images.shape[0]
         pc = jax.image.resize(
             pc_renders, (t, guidance_images.shape[2], guidance_images.shape[3], 3),
@@ -144,9 +150,15 @@ class ViewCrafterEngine:
 
     def __init__(self, params, mcfg, scfg, guided_cfg=None, video_length=25,
                  height=320, width=448, w_recon=0.5, ssim_guidance=False,
-                 lpips_fn: Optional[Callable] = None):
+                 lpips_fn: Optional[Callable] = None, device=None):
         from guidedvd3dgs_tpu.diffusion.samplers.ddim_guidance import GuidedSampleConfig
 
+        # reference guidance_gpu_id analog (arguments/__init__.py:129): pin
+        # the diffusion stack to its own chip of the slice so generation
+        # overlaps 3DGS optimization when pipeline_guidance is on
+        self.device = device
+        if device is not None:
+            params = jax.device_put(params, device)
         self.params = params
         self.mcfg = mcfg
         self.scfg = scfg
@@ -170,6 +182,14 @@ class ViewCrafterEngine:
         from guidedvd3dgs_tpu.diffusion.synthesis import image_guided_synthesis
         from guidedvd3dgs_tpu.guidance.loss_guidance import make_guidance_fn, resize_guidance
 
+        if self.device is not None:
+            pc_renders, guidance_images, guidance_masks, guidance_depths, rng = (
+                jax.device_put(
+                    (pc_renders, guidance_images, guidance_masks,
+                     guidance_depths, rng),
+                    self.device,
+                )
+            )
         # conditioning renders arrive at train resolution; the diffusion
         # model runs at its own (height, width) — resize in, like the
         # reference does before encoding (viewcrafter_wrapper.py:531)
@@ -399,6 +419,7 @@ class GuidedTrainer(BaselineTrainer):
         frozen_mask: Optional[FrozenRenderer] = None,
         hybrid_traj: bool = False,
         depth_estimator: Optional[Callable] = None,
+        pipeline_guidance: bool = False,
     ):
         super().__init__(scene, state, opt, pipe, model_params, background)
         self.frozen = frozen
@@ -437,6 +458,12 @@ class GuidedTrainer(BaselineTrainer):
         # optional monocular-depth point appending
         # (reference train_guidedvd.py:569-612, default off)
         self.depth_estimator = depth_estimator
+        # overlap mode: events are submitted at their boundary and only
+        # materialized at the NEXT boundary, so generation k runs while
+        # iterations k..k+guidance_vd_iter train (no-op on one device; on a
+        # multi-chip mesh the engine lives on its own chip)
+        self.pipeline_guidance = pipeline_guidance
+        self._pending_event = None
         self._step_fn = make_guided_train_step(
             vgg_loss_fn=vgg_loss_fn,
             pseudo_cam_lpips_weight=getattr(opt, "pseudo_cam_lpips_weight", 0.1),
@@ -531,7 +558,19 @@ class GuidedTrainer(BaselineTrainer):
         return frames.at[0].set(real)
 
     def run_diffusion_event(self, iteration: int):
-        """reference train_guidedvd.py:431-636."""
+        """reference train_guidedvd.py:431-636 (synchronous form)."""
+        pending = self.submit_diffusion_event(iteration)
+        if pending is not None:
+            self.finalize_diffusion_event(pending)
+
+    def submit_diffusion_event(self, iteration: int):
+        """Launch one diffusion event and return a pending record without
+        forcing the generated video to the host. JAX async dispatch keeps the
+        sampler running on the guidance chip while the trainer keeps stepping
+        on its own chip — the TPU-native replacement for the reference's
+        serialized two-GPU split (SURVEY.md §2.5); the reference's all-time
+        pseudo stack (train_guidedvd.py:633-634) already proves one-event
+        staleness is tolerated."""
         view = self._next_view()
         if self.txt_traj_warmup:
             traj = self._txt_trajectory(view)
@@ -604,6 +643,12 @@ class GuidedTrainer(BaselineTrainer):
             video = jax.image.resize(
                 video, (video.shape[0], 3, self.H, self.W), "bilinear"
             )
+        return (iteration, view, traj, video, gs_alpha, gs_depth, event_dir)
+
+    def finalize_diffusion_event(self, pending):
+        """Materialize a submitted event's video and rebuild the pseudo
+        stacks (reference train_guidedvd.py:557-636)."""
+        iteration, view, traj, video, gs_alpha, gs_depth, event_dir = pending
         video = np.asarray(video)
 
         if event_dir:
@@ -728,8 +773,30 @@ class GuidedTrainer(BaselineTrainer):
 
         # diffusion event (reference :431: (iteration-1) % guidance_vd_iter)
         if (iteration - 1) % opt.guidance_vd_iter == 0 and iteration < opt.end_sample_pseudo:
-            self.run_diffusion_event(iteration)
+            if self.pipeline_guidance:
+                if self._pending_event is not None:
+                    self.finalize_diffusion_event(self._pending_event)
+                    self._pending_event = None
+                self._pending_event = self.submit_diffusion_event(iteration)
+            else:
+                self.run_diffusion_event(iteration)
 
         loss = float(metrics["loss"])
         self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
-        return metrics
+        # the base train() loop consumes StepStats; keep the raw dict
+        # available for tests via .last_metrics
+        self.last_metrics = metrics
+        return StepStats(
+            loss=loss,
+            l1=float(metrics["l1"]),
+            psnr=float(metrics["psnr"]),
+            num_active=int(self.state.num_active()),
+        )
+
+    def train(self, *args, **kwargs):
+        out = super().train(*args, **kwargs)
+        # drain a still-pending pipelined event so its artifacts land
+        if self._pending_event is not None:
+            self.finalize_diffusion_event(self._pending_event)
+            self._pending_event = None
+        return out

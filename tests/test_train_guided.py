@@ -95,7 +95,7 @@ def test_guided_training_runs_and_improves():
 
     assert trainer.events_run >= 3, trainer.events_run
     assert len(trainer.pseudo_stack) == 4  # video_length - 1
-    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(m.loss)
     assert last["psnr"] > first["psnr"] + 2.0, (first, last)
 
 
@@ -108,4 +108,29 @@ def test_pseudo_branch_contributes():
     m = None
     for it in range(11, 16):
         m = trainer.step(it)
-    assert float(m["pseudo_l1"]) > 0.0
+    assert float(trainer.last_metrics["pseudo_l1"]) > 0.0
+
+
+def test_pipelined_events_lag_one_boundary():
+    """pipeline_guidance submits at a boundary and materializes at the next:
+    the pseudo stack appears one event late, stays in sync afterwards, and a
+    drain at train()-end finalizes the last pending event."""
+    trainer, cams = _setup()
+    trainer.pipeline_guidance = True
+    trainer.init_trajectory_pool()
+
+    for it in range(1, 41):  # first boundary at it=1 (submit only)
+        trainer.step(it)
+    assert trainer.events_run == 0  # not yet materialized
+    assert trainer._pending_event is not None
+    assert not trainer.pseudo_stack
+
+    trainer.step(41)  # second boundary: finalize #1, submit #2
+    assert trainer.events_run == 1
+    assert len(trainer.pseudo_stack) == 4  # video_length - 1
+    assert trainer._pending_event is not None
+
+    # drain path
+    trainer.finalize_diffusion_event(trainer._pending_event)
+    trainer._pending_event = None
+    assert trainer.events_run == 2

@@ -23,7 +23,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def guidance_device(opt):
+    """reference guidance_gpu_id (arguments/__init__.py:129): index into the
+    local device list; the diffusion engine is pinned there so pipelined
+    generation overlaps 3DGS optimization on a multi-chip slice."""
+    import jax
+
+    idx = int(getattr(opt, "guidance_gpu_id", 0))
+    devs = jax.devices()
+    return devs[idx] if 0 <= idx < len(devs) else None
+
+
 def build_engine(args, opt, height, width):
+    device = guidance_device(opt)
     if args.viewcrafter_ckpt:
         import jax.numpy as jnp
 
@@ -47,13 +59,14 @@ def build_engine(args, opt, height, width):
         return ViewCrafterEngine(
             params, mcfg, scfg,
             guided_cfg=GuidedSampleConfig(recur_steps=opt.guidance_recur_steps),
-            video_length=25, height=320, width=d_w,
+            video_length=25, height=320, width=d_w, device=device,
         )
     from guidedvd3dgs_tpu.train.guided import MockDiffusionEngine
 
     print("WARNING: no --viewcrafter_ckpt given; using the MOCK diffusion "
           "engine (pseudo-GT = mask-blended frozen renders).")
-    return MockDiffusionEngine(video_length=25, height=height, width=width)
+    return MockDiffusionEngine(video_length=25, height=height, width=width,
+                               device=device)
 
 
 def main():
@@ -88,6 +101,10 @@ def main():
     # checkpoint, .safetensors or .bin — e.g. Intel/dpt-large)
     parser.add_argument("--dpt_weights", type=str, default=None)
     parser.add_argument("--profile_dir", type=str, default=None)
+    parser.add_argument("--pipeline_guidance", action="store_true",
+                        help="overlap diffusion generation with training "
+                             "(one-event pseudo-stack lag; engine on the "
+                             "guidance_gpu_id device)")
     args = parser.parse_args()
 
     dataset = ModelParams.extract(args)
@@ -179,6 +196,7 @@ def main():
         frozen_mask=frozen_mask,
         hybrid_traj=args.hybrid_traj,
         depth_estimator=depth_estimator,
+        pipeline_guidance=args.pipeline_guidance,
     )
     from guidedvd3dgs_tpu.train.logging import MetricsLogger
 
