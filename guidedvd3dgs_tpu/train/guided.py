@@ -471,7 +471,9 @@ class GuidedTrainer(BaselineTrainer):
 
     # -- setup ---------------------------------------------------------------
 
-    def init_trajectory_pool(self):
+    def init_view_geometry(self):
+        """Per-train-view c2w + center-pixel depth from the frozen model —
+        needed by every trajectory mode (pool, txt preset, random)."""
         c2ws = []
         depths = []
         for cam in self.train_cams:
@@ -483,6 +485,10 @@ class GuidedTrainer(BaselineTrainer):
             depths.append(float(depth[self.H // 2, self.W // 2]))
         self.train_c2ws = np.stack(c2ws)
         self.center_depths = np.asarray(depths)
+
+    def init_trajectory_pool(self):
+        self.init_view_geometry()
+        depths = self.center_depths
         self.trajectory_pool = build_trajectory_pool(
             # the two-renderer variant selects candidates with the MASK
             # renderer (reference tworenderer diff at :161/:211/:260)
