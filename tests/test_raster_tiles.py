@@ -14,6 +14,16 @@ from helpers import activated, make_camera, random_gaussians
 raster_tiles.set_interpret(True)
 
 
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    """Other tests (the graft dryrun) may flip interpret mode process-wide;
+    pin it per test here."""
+    prev = raster_tiles._INTERPRET[0]
+    raster_tiles.set_interpret(True)
+    yield
+    raster_tiles.set_interpret(prev)
+
+
 def setup(n=300, seed=0, height=48, width=64):
     cam = make_camera(height=height, width=width).raster_camera()
     parts = activated(*random_gaussians(n=n, seed=seed))
