@@ -145,13 +145,16 @@ def _fwd_kernel(
     start = tile_start_ref[t]  # CHUNK-aligned (tiling.bin_gaussians)
     count = tile_count_ref[t]
     nch = pl.cdiv(count, CHUNK)
+    # start is CHUNK-aligned by construction; the //CHUNK*CHUNK form lets
+    # Mosaic PROVE the DMA slice index divisible by the lane tiling
+    astart = (start // CHUNK) * CHUNK
 
     pixx, pixy = _pixel_coords(t, gx)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
     def copy_in(c, slot):
         return pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            inst_ref.at[:, pl.ds(astart + c * CHUNK, CHUNK)],
             chunk_vmem.at[slot],
             sem.at[slot],
         )
@@ -180,7 +183,7 @@ def _fwd_kernel(
         def _():
             copy_in(c + 1, 1 - slot).start()
 
-        off = start + c * CHUNK
+        off = astart + c * CHUNK
         data = chunk_vmem[slot].T  # (CHUNK, NUM_FIELDS)
         idx = off + col_idx
         valid = idx < start + count
@@ -290,13 +293,14 @@ def _bwd_kernel(
     start = tile_start_ref[t]  # CHUNK-aligned (tiling.bin_gaussians)
     count = tile_count_ref[t]
     nch = pl.cdiv(count, CHUNK)
+    astart = (start // CHUNK) * CHUNK  # provably lane-tiling-divisible
 
     pixx, pixy = _pixel_coords(t, gx)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
     def copy_in(c, slot):
         return pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            inst_ref.at[:, pl.ds(astart + c * CHUNK, CHUNK)],
             chunk_vmem.at[slot],
             sem.at[slot],
         )
@@ -304,7 +308,7 @@ def _bwd_kernel(
     def copy_out(c, slot):
         return pltpu.make_async_copy(
             gchunk_vmem.at[slot],
-            grad_ref.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            grad_ref.at[:, pl.ds(astart + c * CHUNK, CHUNK)],
             gsem.at[slot],
         )
 
@@ -338,7 +342,7 @@ def _bwd_kernel(
         def _():
             copy_in(c + 1, 1 - slot).start()
 
-        off = start + c * CHUNK
+        off = astart + c * CHUNK
         data = chunk_vmem[slot].T  # (CHUNK, NUM_FIELDS)
         idx = off + col_idx
         valid = idx < start + count

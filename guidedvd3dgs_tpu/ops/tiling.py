@@ -147,14 +147,18 @@ def bin_gaussians(
     m_pad = m + num_tiles * CHUNK
     aligned = ((tile_count + CHUNK - 1) // CHUNK) * CHUNK
     tile_start = jnp.cumsum(aligned) - aligned  # exclusive, CHUNK-aligned
-    tile_of = jnp.minimum(keys >> depth_bits, num_tiles)  # pads -> num_tiles
-    start_ext = jnp.concatenate([tile_start, jnp.zeros((1,), jnp.int32)])
-    sstart_ext = jnp.concatenate([sort_start, jnp.zeros((1,), jnp.int32)])
-    newpos = jnp.where(
-        tile_of < num_tiles,
-        start_ext[tile_of] + (j - sstart_ext[tile_of]),
-        m_pad,
-    )
+    # Each instance moves right by the total padding inserted before its
+    # tile: pad_before = tile_start - sort_start, non-decreasing over tiles.
+    # Broadcast it per-instance WITHOUT a per-lane table gather (random
+    # gathers at M lanes cost ~10+ ms): scatter pad_before at each tile's
+    # first sorted slot, then a running max over the tile-sorted slots.
+    # Empty tiles share a start slot; max keeps the latest (largest) delta,
+    # which is the one the instance actually belongs to.
+    pad_before = tile_start - sort_start
+    delta = jnp.zeros((m,), jnp.int32).at[sort_start].max(pad_before, mode="drop")
+    delta = jax.lax.cummax(delta)
+    num_real = starts[num_tiles]  # pads sort after every real key
+    newpos = jnp.where(j < num_real, j + delta, m_pad)
     inst_gauss = jnp.full((m_pad,), n, jnp.int32).at[newpos].set(
         inst_gauss, mode="drop"
     )
