@@ -68,13 +68,38 @@ def make_camera():
     )
 
 
+_LATENCY_MS = [0.0]
+
+
+def _calibrate_latency():
+    """One dispatch+readback round trip through the remote (axon) TPU
+    tunnel costs ~28 ms; subtract it so the metric is device time."""
+    empty = jax.jit(lambda v: v.sum() + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    np.asarray(empty(x))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(empty(x))
+        best = min(best, (time.perf_counter() - t0) * 1000.0)
+    _LATENCY_MS[0] = best
+
+
 def _timed(rep_fn, args):
+    """block_until_ready is NOT a reliable completion barrier through the
+    remote (axon) TPU tunnel — only a host readback is. The rep_fn's scan
+    amortizes the dispatch+readback latency over ITERS and the calibrated
+    latency is subtracted."""
     out = rep_fn(*args)
-    jax.block_until_ready(out)  # compile + warm
-    t0 = time.perf_counter()
-    out = rep_fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / ITERS * 1000.0, out
+    np.asarray(jax.tree.leaves(out)[0])  # compile + warm, forced readback
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = rep_fn(*args)
+        for leaf in jax.tree.leaves(out):
+            np.asarray(leaf)
+        best = min(best, time.perf_counter() - t0)
+    return max(best * 1000.0 - _LATENCY_MS[0], 0.0) / ITERS, out
 
 
 def bench():
@@ -83,6 +108,7 @@ def bench():
     cam = make_camera()
     bg = jnp.zeros((3,), jnp.float32)
     args = make_inputs()
+    _calibrate_latency()
 
     # demand probe -> trainer-style adaptive instance buffer (1.3x headroom)
     demand = int(
@@ -127,6 +153,7 @@ def bench():
         "instance_demand": demand,
         "max_instances": mi,
         "grads_finite": finite,
+        "dispatch_latency_ms": round(_LATENCY_MS[0], 3),
         "device": str(jax.devices()[0]),
     }
     if not finite:

@@ -5,7 +5,8 @@ TPU-native replacement for the reference CUDA tile rasterizer
 backward.cu:416-601 bwd). Architecture:
 
   preprocess (pure JAX, ops/projection.py)
-    -> tile binning (pure JAX: scatter + lax.sort, ops/tiling.py); every
+    -> tile binning (ops/tiling.py): streaming Pallas expansion kernel
+       (ops/expand.py) + key sort + 12-operand field-carrying sort; every
        tile's instance segment starts CHUNK-aligned, so each CHUNK block of
        the instance buffer belongs to exactly one tile
     -> Pallas FWD kernel: one grid step per 16x16 tile; per-instance data
@@ -41,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from guidedvd3dgs_tpu.ops import tiling
+from guidedvd3dgs_tpu.ops import expand, tiling
 from guidedvd3dgs_tpu.ops.projection import RasterCamera, preprocess_gaussians
 from guidedvd3dgs_tpu.ops.raster_dense import RenderOutput
 from guidedvd3dgs_tpu.ops.tiling import (
@@ -67,6 +68,7 @@ _INTERPRET = [False]  # flipped by tests on CPU
 
 def set_interpret(flag: bool):
     _INTERPRET[0] = flag
+    expand.set_interpret(flag)
 
 
 def _pixel_coords(t, gx):
@@ -475,47 +477,44 @@ def _run_bwd(
 # per-Gaussian gradient reduction
 # ----------------------------------------------------------------------------
 
-# "sort11": one stable 11-operand sort keyed by gaussian id; "gather": a
-# 2-operand (id, slot) sort + one row gather regroups the grads with 5x less
-# data through the sort network. Both are deterministic replacements for the
-# CUDA atomicAdd reduction (reference backward.cu:555-598); scatter-add was
-# measured ~290 ms @4M instances, sort11 ~3x faster than the best scatter.
-_REDUCE_VARIANT = ["gather"]
-
-
-def set_reduce_variant(name: str):
-    assert name in ("sort11", "gather")
-    _REDUCE_VARIANT[0] = name
+def _blocked_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """(R, M) f32 inclusive lane cumsum via in-block tril matmuls (MXU) +
+    a 128x-smaller block-carry cumsum; ~1.5x faster than XLA's lane cumsum
+    at M=2.5M (tools/profile_prims.py) and scales with MXU, not passes."""
+    r, m = x.shape
+    b = m // CHUNK
+    xb = x.reshape(r * b, CHUNK)
+    tril = jnp.tril(jnp.ones((CHUNK, CHUNK), jnp.float32))
+    inblock = jax.lax.dot(xb, tril.T, preferred_element_type=jnp.float32)
+    inblock = inblock.reshape(r, b, CHUNK)
+    totals = inblock[:, :, -1]
+    carry = jnp.cumsum(totals, axis=1) - totals
+    return (inblock + carry[:, :, None]).reshape(r, m)
 
 
 def _reduce_per_gaussian(grad_inst: jnp.ndarray, binning) -> jnp.ndarray:
     """(NUM_FIELDS, M) per-instance grads -> (10, N) per-Gaussian sums.
 
-    Instances of one Gaussian are regrouped contiguously (expansion order),
-    then segment sums come from a lane cumsum + two boundary gathers at
-    binning.gauss_offset / gauss_cum (the expansion-order cumulative counts).
+    Deterministic replacement for the CUDA atomicAdd reduction (reference
+    backward.cu:555-598). One 11-operand stable sort keyed by gaussian id
+    regroups the grads contiguously (measured 17.5 ms at M=2.5M vs 39 ms
+    for the old 2-op sort + row gather: random row gathers are the
+    expensive primitive on TPU, sort payload operands are cheap), then
+    segment sums are a blocked cumsum + ONE boundary gather: segments are
+    contiguous in expansion order (offsets[g] == cum[g-1], every Gaussian
+    owns >= 1 slot), so the segment-start prefix is the previous segment's
+    end: lo[g] = hi[g-1].
     """
     m = binning.inst_gauss.shape[0]
-    if _REDUCE_VARIANT[0] == "sort11":
-        ops = (binning.inst_gauss,) + tuple(grad_inst[i] for i in range(10))
-        sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
-        pre = jnp.stack(sorted_ops[1:], axis=0)  # (10, M) grouped by gaussian
-    else:
-        slot = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
-        _, perm = jax.lax.sort((binning.inst_gauss, slot), num_keys=1, is_stable=True)
-        rows = grad_inst.T[perm]  # (M, NUM_FIELDS) row gather along sublanes
-        pre = rows.T[:10]  # (10, M) grouped by gaussian
-    P = jnp.cumsum(pre, axis=1)
+    ops = (binning.inst_gauss,) + tuple(grad_inst[i] for i in range(10))
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    pre = jnp.stack(sorted_ops[1:], axis=0)  # (10, M) grouped by gaussian
+    P = _blocked_cumsum(pre)
     cum = binning.gauss_cum
-    offs = binning.gauss_offset
     hi = jnp.take(P, jnp.clip(cum - 1, 0, m - 1), axis=1)  # (10, N)
-    lo = jnp.where(
-        (offs > 0)[None, :],
-        jnp.take(P, jnp.clip(offs - 1, 0, m - 1), axis=1),
-        0.0,
-    )
-    empty = (cum == offs)[None, :]
-    return jnp.where(empty, 0.0, hi - lo)  # (10, N)
+    hi = jnp.where((cum > 0)[None, :], hi, 0.0)  # guard (cum >= 1 by design)
+    lo = jnp.concatenate([jnp.zeros((hi.shape[0], 1), hi.dtype), hi[:, :-1]], axis=1)
+    return hi - lo  # (10, N)
 
 
 # ----------------------------------------------------------------------------
@@ -668,7 +667,7 @@ def rasterize_tiles(
     n = means3d.shape[0]
     if max_instances <= 0:
         max_instances = max(4 * n, 1 << 14)
-    max_instances = -(-max_instances // CHUNK) * CHUNK
+    max_instances = -(-max_instances // expand.BLK) * expand.BLK
 
     static_cfg = (
         sh_degree,

@@ -134,9 +134,7 @@ def profile_reduce_variants():
     rng = np.random.default_rng(0)
     gi = jnp.asarray(rng.normal(size=(NUM_FIELDS, m_pad)).astype(np.float32))
 
-    for name in ("sort11", "gather"):
-        rt.set_reduce_variant(name)
-        timeit(f"reduce variant {name}", rt._reduce_per_gaussian, gi, b)
+    timeit("reduce (11-op sort + blocked cumsum)", rt._reduce_per_gaussian, gi, b)
 
 
 if __name__ == "__main__" and os.environ.get("REDUCE_VARIANTS"):
