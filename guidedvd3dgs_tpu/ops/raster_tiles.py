@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from guidedvd3dgs_tpu.ops import expand, tiling
+from guidedvd3dgs_tpu.ops import expand, segsum, tiling
 from guidedvd3dgs_tpu.ops.projection import RasterCamera, preprocess_gaussians
 from guidedvd3dgs_tpu.ops.raster_dense import RenderOutput
 from guidedvd3dgs_tpu.ops.tiling import (
@@ -69,6 +69,7 @@ _INTERPRET = [False]  # flipped by tests on CPU
 def set_interpret(flag: bool):
     _INTERPRET[0] = flag
     expand.set_interpret(flag)
+    segsum.set_interpret(flag)
 
 
 def _pixel_coords(t, gx):
@@ -477,21 +478,6 @@ def _run_bwd(
 # per-Gaussian gradient reduction
 # ----------------------------------------------------------------------------
 
-def _blocked_cumsum(x: jnp.ndarray) -> jnp.ndarray:
-    """(R, M) f32 inclusive lane cumsum via in-block tril matmuls (MXU) +
-    a 128x-smaller block-carry cumsum; ~1.5x faster than XLA's lane cumsum
-    at M=2.5M (tools/profile_prims.py) and scales with MXU, not passes."""
-    r, m = x.shape
-    b = m // CHUNK
-    xb = x.reshape(r * b, CHUNK)
-    tril = jnp.tril(jnp.ones((CHUNK, CHUNK), jnp.float32))
-    inblock = jax.lax.dot(xb, tril.T, preferred_element_type=jnp.float32)
-    inblock = inblock.reshape(r, b, CHUNK)
-    totals = inblock[:, :, -1]
-    carry = jnp.cumsum(totals, axis=1) - totals
-    return (inblock + carry[:, :, None]).reshape(r, m)
-
-
 def _reduce_per_gaussian(grad_inst: jnp.ndarray, binning) -> jnp.ndarray:
     """(NUM_FIELDS, M) per-instance grads -> (10, N) per-Gaussian sums.
 
@@ -499,22 +485,14 @@ def _reduce_per_gaussian(grad_inst: jnp.ndarray, binning) -> jnp.ndarray:
     backward.cu:555-598). One 11-operand stable sort keyed by gaussian id
     regroups the grads contiguously (measured 17.5 ms at M=2.5M vs 39 ms
     for the old 2-op sort + row gather: random row gathers are the
-    expensive primitive on TPU, sort payload operands are cheap), then
-    segment sums are a blocked cumsum + ONE boundary gather: segments are
-    contiguous in expansion order (offsets[g] == cum[g-1], every Gaussian
-    owns >= 1 slot), so the segment-start prefix is the previous segment's
-    end: lo[g] = hi[g-1].
+    expensive primitive on TPU, sort payload operands are cheap), then the
+    streaming segmented-sum kernel (ops/segsum.py) collapses segments in
+    one pass.
     """
-    m = binning.inst_gauss.shape[0]
+    n = binning.gauss_cum.shape[0]
     ops = (binning.inst_gauss,) + tuple(grad_inst[i] for i in range(10))
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    pre = jnp.stack(sorted_ops[1:], axis=0)  # (10, M) grouped by gaussian
-    P = _blocked_cumsum(pre)
-    cum = binning.gauss_cum
-    hi = jnp.take(P, jnp.clip(cum - 1, 0, m - 1), axis=1)  # (10, N)
-    hi = jnp.where((cum > 0)[None, :], hi, 0.0)  # guard (cum >= 1 by design)
-    lo = jnp.concatenate([jnp.zeros((hi.shape[0], 1), hi.dtype), hi[:, :-1]], axis=1)
-    return hi - lo  # (10, N)
+    return segsum.segment_sum_sorted(sorted_ops[0], sorted_ops[1:], n)
 
 
 # ----------------------------------------------------------------------------
@@ -667,7 +645,8 @@ def rasterize_tiles(
     n = means3d.shape[0]
     if max_instances <= 0:
         max_instances = max(4 * n, 1 << 14)
-    max_instances = -(-max_instances // expand.BLK) * expand.BLK
+    # lcm of the expansion block (512) and the segsum block (1024)
+    max_instances = -(-max_instances // segsum.BBLK) * segsum.BBLK
 
     static_cfg = (
         sh_degree,

@@ -91,8 +91,10 @@ def bin_gaussians(
     rmx, rmy, rw, rh, count, gx, gy = tile_rects(proc, width, height)
     num_tiles = gx * gy
     m = max_instances
-    assert m % expand.BLK == 0, m
-    pad_cap = num_tiles * CHUNK
+    assert m % 1024 == 0, m  # lcm of expand.BLK and segsum.BBLK
+    # rounded up so m_pad stays a segsum-block multiple; the excess slots
+    # fall past every tile's pad quota and get the dead key
+    pad_cap = -(-num_tiles * CHUNK // 1024) * 1024
     # integer-valued table rows ride f32 lanes through the expansion kernel
     # and instance positions ride f32 cumsum exactness in the reduce
     assert m + pad_cap < (1 << 24), "instance capacity exceeds f32 exactness"

@@ -99,6 +99,30 @@ def test_forward_matches_dense_opaque():
     )
 
 
+@pytest.mark.tpu
+def test_grads_finite_at_scale_on_tpu():
+    """Compiled (non-interpret) fwd+bwd at 1M splats on a real TPU chip must
+    produce finite gradients — the regression class round 1 shipped
+    (uninitialized HBM in early-exited bwd chunks passed interpret-mode
+    tests but was non-finite on hardware)."""
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("needs a real TPU device")
+    raster_tiles.set_interpret(False)
+    import bench as bench_mod
+
+    cam = bench_mod.make_camera()
+    args = bench_mod.make_inputs()
+    bg = jnp.zeros((3,), jnp.float32)
+
+    def loss(m, s, r, o, sh):
+        out = raster_tiles.rasterize_tiles(m, s, r, o, sh, cam, bg, sh_degree=3)
+        return out.color.sum() + 0.1 * out.depth.sum() + 0.1 * out.alpha.sum()
+
+    val, grads = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4)))(*args)
+    leaves = [np.asarray(x) for x in jax.tree.leaves((val, grads))]
+    assert all(np.isfinite(x).all() for x in leaves)
+
+
 @pytest.mark.slow
 def test_backward_matches_dense():
     cam, parts = setup(n=200, seed=3, height=32, width=48)
