@@ -63,6 +63,7 @@ def render_gaussians(
     use_confidence: bool = False,
     backend: str = "auto",
     max_instances: int = 0,
+    active_degree: Optional[jnp.ndarray] = None,
 ) -> RenderResult:
     """Differentiable render of the (possibly capacity-padded) Gaussian set.
 
@@ -100,6 +101,7 @@ def render_gaussians(
         active_mask=active,
         backend=backend,
         max_instances=max_instances,
+        active_degree=active_degree,
     )
     return RenderResult(
         color=out.color,

@@ -131,9 +131,47 @@ def _expand_kernel(
     tile = (rmy + q) * gx + rmx + rem
     key = (tile << depth_bits) | jnp.maximum(dq, 0)
 
+    # Exact conservative tile-level cull (output-identical): the blend
+    # kernels ignore any instance-pixel with alpha < 1/255 (ALPHA_EPS), so
+    # an instance whose MAXIMUM alpha over its tile's pixel rect is below
+    # that threshold can be dropped here — its chunks then never reach the
+    # blend kernels. The continuous minimum of the PSD conic quadratic
+    # q(d) = 0.5*(ca*dx^2 + cc*dy^2) + cb*dx*dy over the rect lower-bounds
+    # the discrete pixel minimum (interior min is the mean itself; boundary
+    # minima are the clamped per-edge stationary points), so the test only
+    # culls instances that provably contribute nothing. The CUDA reference
+    # walks the full rect (rasterizer_impl.cu duplicateWithKeys) and pays
+    # for these corner tiles in the blend instead.
+    mx = out[0:1]
+    my = out[1:2]
+    ca = out[2:3]
+    cb = out[3:4]
+    cc = out[4:5]
+    op = out[5:6]
+    tcx = (rmx + rem).astype(jnp.float32)
+    tcy = (rmy + q).astype(jnp.float32)
+    ex0 = tcx * 16.0 - mx
+    ex1 = ex0 + 15.0
+    ey0 = tcy * 16.0 - my
+    ey1 = ey0 + 15.0
+    inside = (ex0 <= 0.0) & (0.0 <= ex1) & (ey0 <= 0.0) & (0.0 <= ey1)
+    caf = jnp.maximum(ca, 1e-12)
+    ccf = jnp.maximum(cc, 1e-12)
+
+    def qv(dx, dy):
+        return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+    qe0 = qv(ex0, jnp.clip(-cb * ex0 / ccf, ey0, ey1))
+    qe1 = qv(ex1, jnp.clip(-cb * ex1 / ccf, ey0, ey1))
+    qe2 = qv(jnp.clip(-cb * ey0 / caf, ex0, ex1), ey0)
+    qe3 = qv(jnp.clip(-cb * ey1 / caf, ex0, ex1), ey1)
+    minq = jnp.minimum(jnp.minimum(qe0, qe1), jnp.minimum(qe2, qe3))
+    minq = jnp.where(inside, 0.0, minq)
+    cull = minq > jnp.log(jnp.maximum(op, 1e-12) * 255.0)
+
     total = tot_ref[0]
     n = tot_ref[1]
-    dead = (dq < 0) | (jrow >= total)
+    dead = (dq < 0) | (jrow >= total) | cull
     keys_ref[...] = jnp.where(dead, dead_key, key)
     owner = a0 + S.astype(jnp.int32)
     gs_ref[...] = jnp.where(jrow >= total, n, owner)

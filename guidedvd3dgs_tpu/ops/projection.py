@@ -144,33 +144,46 @@ def compute_cov2d_components(tx, ty, tz, cov3d, cam: RasterCamera):
     return (quad(u, u) + COV2D_DILATION, quad(u, v), quad(v, v) + COV2D_DILATION)
 
 
-def _eval_sh_channels(deg: int, sh48, dx, dy, dz):
+def _eval_sh_channels(deg: int, sh48, dx, dy, dz, active_degree=None):
     """Scalarized SH evaluation: sh48 is a list of (deg+1)² basis slots, each
     a 3-tuple of (…,) channel arrays; returns 3 channel arrays
     (reference utils/sh_utils.py:22-80 / forward.cu:20-71; the rasterizer
-    caps at degree 3 like the CUDA path)."""
+    caps at degree 3 like the CUDA path).
+
+    `active_degree` (optional traced f32 scalar <= deg) masks whole bands
+    dynamically, so the SH-degree warmup schedule (reference
+    train_baseline.py:65-67, +1 every 500 iters) does NOT change the traced
+    program — one compile serves all warmup stages. Masked bands get zero
+    basis, hence zero gradients, exactly like the static lower-degree path."""
     from guidedvd3dgs_tpu.utils.sh import C0, C1, C2, C3
 
     assert 0 <= deg <= 3
+    if active_degree is None:
+        bs = [1.0, 1.0, 1.0, 1.0]
+    else:
+        bs = [1.0] + [
+            (active_degree >= b).astype(jnp.float32) for b in (1.0, 2.0, 3.0)
+        ]
     basis = [jnp.full_like(dx, C0)]
     if deg > 0:
-        basis += [-C1 * dy, C1 * dz, -C1 * dx]
+        basis += [bs[1] * -C1 * dy, bs[1] * C1 * dz, bs[1] * -C1 * dx]
         if deg > 1:
             xx, yy, zz = dx * dx, dy * dy, dz * dz
             xy, yz, xz = dx * dy, dy * dz, dx * dz
             basis += [
-                C2[0] * xy, C2[1] * yz, C2[2] * (2.0 * zz - xx - yy),
-                C2[3] * xz, C2[4] * (xx - yy),
+                bs[2] * C2[0] * xy, bs[2] * C2[1] * yz,
+                bs[2] * C2[2] * (2.0 * zz - xx - yy),
+                bs[2] * C2[3] * xz, bs[2] * C2[4] * (xx - yy),
             ]
             if deg > 2:
                 basis += [
-                    C3[0] * dy * (3 * xx - yy),
-                    C3[1] * xy * dz,
-                    C3[2] * dy * (4 * zz - xx - yy),
-                    C3[3] * dz * (2 * zz - 3 * xx - 3 * yy),
-                    C3[4] * dx * (4 * zz - xx - yy),
-                    C3[5] * dz * (xx - yy),
-                    C3[6] * dx * (xx - 3 * yy),
+                    bs[3] * C3[0] * dy * (3 * xx - yy),
+                    bs[3] * C3[1] * xy * dz,
+                    bs[3] * C3[2] * dy * (4 * zz - xx - yy),
+                    bs[3] * C3[3] * dz * (2 * zz - 3 * xx - 3 * yy),
+                    bs[3] * C3[4] * dx * (4 * zz - xx - yy),
+                    bs[3] * C3[5] * dz * (xx - yy),
+                    bs[3] * C3[6] * dx * (xx - 3 * yy),
                 ]
     out = []
     for ch in range(3):
@@ -209,6 +222,7 @@ def preprocess_gaussians(
     colors_precomp: Optional[jnp.ndarray] = None,
     cov3d_precomp: Optional[jnp.ndarray] = None,
     active_mask: Optional[jnp.ndarray] = None,
+    active_degree: Optional[jnp.ndarray] = None,
 ) -> ProcessedGaussians:
     """Project N Gaussians to screen space (differentiable).
 
@@ -263,7 +277,7 @@ def preprocess_gaussians(
         sh48 = [
             (shs[..., k, 0], shs[..., k, 1], shs[..., k, 2]) for k in range(n_coef)
         ]
-        r, g, b = _eval_sh_channels(sh_degree, sh48, dx, dy, dz)
+        r, g, b = _eval_sh_channels(sh_degree, sh48, dx, dy, dz, active_degree)
         color = jnp.stack(
             [jnp.maximum(r + 0.5, 0.0), jnp.maximum(g + 0.5, 0.0), jnp.maximum(b + 0.5, 0.0)],
             axis=-1,

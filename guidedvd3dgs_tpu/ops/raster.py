@@ -38,6 +38,7 @@ def rasterize(
     active_mask: Optional[jnp.ndarray] = None,
     backend: str = "auto",
     max_instances: int = 0,
+    active_degree: Optional[jnp.ndarray] = None,
 ) -> RenderOutput:
     kwargs = dict(
         sh_degree=sh_degree,
@@ -46,6 +47,7 @@ def rasterize(
         cov3d_precomp=cov3d_precomp,
         means2d_offset=means2d_offset,
         active_mask=active_mask,
+        active_degree=active_degree,
     )
     if backend == "auto":
         backend = "dense" if means3d.shape[0] <= _AUTO_DENSE_MAX else "tiles"

@@ -208,6 +208,7 @@ def rasterize_dense(
     means2d_offset: Optional[jnp.ndarray] = None,
     active_mask: Optional[jnp.ndarray] = None,
     chunk: int = 256,
+    active_degree: Optional[jnp.ndarray] = None,
 ) -> RenderOutput:
     """Full dense rasterization: preprocess + blend.
 
@@ -229,6 +230,7 @@ def rasterize_dense(
         colors_precomp=colors_precomp,
         cov3d_precomp=cov3d_precomp,
         active_mask=active_mask,
+        active_degree=active_degree,
     )
     if means2d_offset is not None:
         scale = jnp.array([0.5 * cam.width, 0.5 * cam.height], proc.means2d.dtype)

@@ -503,12 +503,13 @@ def _reduce_per_gaussian(grad_inst: jnp.ndarray, binning) -> jnp.ndarray:
 def _preproc_screen(
     means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
     means2d_offset, cam, sh_degree, scale_modifier, active_mask,
+    active_degree=None,
 ):
     proc = preprocess_gaussians(
         means3d, scales, rotations, opacities, shs, cam,
         sh_degree=sh_degree, scale_modifier=scale_modifier,
         colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
-        active_mask=active_mask,
+        active_mask=active_mask, active_degree=active_degree,
     )
     means2d = proc.means2d
     if means2d_offset is not None:
@@ -524,11 +525,13 @@ def _raster_core(
     width,
     means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
     means2d_offset, viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_mask,
+    active_degree,
 ):
     out, _ = _raster_fwd_impl(
         static_cfg, height, width,
         means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
         means2d_offset, viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_mask,
+        active_degree,
     )
     return out
 
@@ -537,12 +540,13 @@ def _raster_fwd_impl(
     static_cfg, height, width,
     means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
     means2d_offset, viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_mask,
+    active_degree,
 ):
     sh_degree, scale_modifier, max_instances, *_ = static_cfg
     cam = RasterCamera(viewmatrix, projmatrix, campos, tanfovx, tanfovy, height, width)
     (m2d, depths, conics, colors, opacs), proc = _preproc_screen(
         means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
-        means2d_offset, cam, sh_degree, scale_modifier, active_mask,
+        means2d_offset, cam, sh_degree, scale_modifier, active_mask, active_degree,
     )
     proc_screen = proc._replace(means2d=m2d)
     binning = tiling.bin_gaussians(proc_screen, width, height, max_instances)
@@ -558,6 +562,7 @@ def _raster_fwd_impl(
         binning, C, D, A,
         means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
         means2d_offset, viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_mask,
+        active_degree,
     )
     return (color, depth, alpha, proc.radii, diag), residuals
 
@@ -573,6 +578,7 @@ def _raster_bwd(static_cfg, height, width, res, cotangents):
         binning, C, D, A,
         means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
         means2d_offset, viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_mask,
+        active_degree,
     ) = res
     dcolor, ddepth, dalpha, _dradii, _ddiag = cotangents
 
@@ -598,7 +604,8 @@ def _raster_bwd(static_cfg, height, width, res, cotangents):
 
     def preproc_only(md, sc, rot, op, sh, cpre, cov, off):
         out, _ = _preproc_screen(
-            md, sc, rot, op, sh, cpre, cov, off, cam, sh_degree, scale_modifier, active_mask
+            md, sc, rot, op, sh, cpre, cov, off, cam, sh_degree, scale_modifier,
+            active_mask, active_degree,
         )
         return out
 
@@ -620,6 +627,7 @@ def _raster_bwd(static_cfg, height, width, res, cotangents):
         jnp.zeros_like(tanfovy) if isinstance(tanfovy, jnp.ndarray) else 0.0,
         zero_like(bg),
         None,
+        zero_like(active_degree),
     )
 
 
@@ -641,6 +649,7 @@ def rasterize_tiles(
     means2d_offset: Optional[jnp.ndarray] = None,
     active_mask: Optional[jnp.ndarray] = None,
     max_instances: int = 0,
+    active_degree: Optional[jnp.ndarray] = None,
 ) -> RenderOutput:
     n = means3d.shape[0]
     if max_instances <= 0:
@@ -661,6 +670,6 @@ def rasterize_tiles(
         static_cfg, cam.height, cam.width,
         means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
         means2d_offset, cam.viewmatrix, cam.projmatrix, cam.campos,
-        cam.tanfovx, cam.tanfovy, bg, active_mask,
+        cam.tanfovx, cam.tanfovy, bg, active_mask, active_degree,
     )
     return RenderOutput(color, depth, alpha, radii, radii > 0, overflow, num_instances)

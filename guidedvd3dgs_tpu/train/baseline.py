@@ -62,6 +62,7 @@ def train_step(
     gt_image: jnp.ndarray,
     bg: jnp.ndarray,
     lrs: G.LearningRates,
+    active_degree: jnp.ndarray,  # traced f32: SH warmup without recompiles
     sh_degree: int,
     lambda_dssim: float,
     use_confidence: bool = False,
@@ -85,6 +86,7 @@ def train_step(
             use_confidence=use_confidence,
             backend=backend,
             max_instances=max_instances,
+            active_degree=active_degree,
         )
         ll1 = l1_loss(r.color, gt_image)
         loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(r.color, gt_image))
@@ -127,6 +129,7 @@ def train_steps_chunk(
     xyz_lrs: jnp.ndarray,  # (K,) per-step scheduled xyz LR
     apply_adam: jnp.ndarray,  # (K,) bool
     update_stats: jnp.ndarray,  # (K,) bool
+    degrees: jnp.ndarray,  # (K,) f32 per-step active SH degree
     bg: jnp.ndarray,
     lrs: G.LearningRates,  # xyz overridden per step
     sh_degree: int,
@@ -143,7 +146,7 @@ def train_steps_chunk(
     on remotely-attached TPUs (~0.5 s/step latency vs ~15 ms compute)."""
 
     def body(state, per):
-        idx, lr_xyz, do_adam, do_stats = per
+        idx, lr_xyz, do_adam, do_stats, adeg = per
         cam = jax.tree.map(lambda a: a[idx], rcs)
         gt = gts[idx]
         offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
@@ -153,6 +156,7 @@ def train_steps_chunk(
                 params, state.active, state.confidence, cam, bg, sh_degree,
                 means2d_offset=offset, use_confidence=use_confidence,
                 backend=backend, max_instances=max_instances,
+                active_degree=adeg,
             )
             ll1 = l1_loss(r.color, gt)
             loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(r.color, gt))
@@ -181,7 +185,7 @@ def train_steps_chunk(
         return state, metrics
 
     state, (losses, l1s, psnrs, ovfs, dems) = jax.lax.scan(
-        body, state, (cam_idx, xyz_lrs, apply_adam, update_stats)
+        body, state, (cam_idx, xyz_lrs, apply_adam, update_stats, degrees)
     )
     metrics = {
         "loss": losses[-1], "l1": l1s[-1], "psnr": psnrs[-1],
@@ -333,7 +337,8 @@ class BaselineTrainer:
             gt,
             self.bg,
             lrs_for(opt, self.xyz_lr),
-            sh_degree=self.active_sh_degree,
+            jnp.float32(self.active_sh_degree),
+            sh_degree=self.max_sh_degree,
             lambda_dssim=opt.lambda_dssim,
             use_confidence=getattr(self.pipe, "use_confidence", False),
             backend=self.backend,
@@ -420,9 +425,6 @@ class BaselineTrainer:
         stops = set()
         stops.update(range(0, iterations + 1, opt.densification_interval))
         stops.update(range(0, iterations + 1, opt.opacity_reset_interval))
-        sh_last = min(500 * self.max_sh_degree, iterations)
-        stops.update(x - 1 for x in range(500, sh_last + 1, 500))
-        stops.update(range(500, sh_last + 1, 500))
         stops.update(int(x) for x in test_iterations)
         stops.update(int(x) for x in saving_iterations)
         stops.update(int(x) for x in checkpoint_iterations)
@@ -431,14 +433,13 @@ class BaselineTrainer:
 
         it0 = start_iteration
         for it1 in bounds:
-            # SH bump before the step at multiples of 500 (reference
-            # train_baseline.py:65-67); k*500-1 is a stop, so the k*500 step
-            # always begins a chunk while the degree is climbing
-            if (it0 + 1) % 500 == 0 and self.active_sh_degree < self.max_sh_degree:
-                self.active_sh_degree += 1
-
             k = it1 - it0
             its = np.arange(it0 + 1, it1 + 1)
+            # SH degree +1 before every 500th step (reference
+            # train_baseline.py:65-67) — a traced per-step value, so the
+            # warmup does not recompile the chunk
+            degrees = np.minimum(its // 500, self.max_sh_degree).astype(np.float32)
+            self.active_sh_degree = int(degrees[-1])
             cam_idx = np.asarray([self._next_cam_idx() for _ in range(k)], np.int32)
             xyz_lrs = np.asarray([self.xyz_sched(i - 1) for i in its], np.float32)
             do_densify = (
@@ -453,8 +454,9 @@ class BaselineTrainer:
                 self.state, rcs, gts,
                 jnp.asarray(cam_idx), jnp.asarray(xyz_lrs),
                 jnp.asarray(apply_adam), jnp.asarray(update_stats),
+                jnp.asarray(degrees),
                 self.bg, lrs_for(opt, 0.0),
-                sh_degree=self.active_sh_degree,
+                sh_degree=self.max_sh_degree,
                 lambda_dssim=opt.lambda_dssim,
                 use_confidence=getattr(self.pipe, "use_confidence", False),
                 backend=self.backend,

@@ -129,7 +129,8 @@ class ProjectCamTrainer(BaselineTrainer):
             self.state, metrics = train_step(
                 self.state, rc, jnp.asarray(cam.image), self.bg,
                 lrs_for(opt, self.xyz_lr),
-                sh_degree=self.active_sh_degree,
+                jnp.float32(self.active_sh_degree),
+                sh_degree=self.max_sh_degree,
                 lambda_dssim=opt.lambda_dssim,
                 use_confidence=getattr(self.pipe, "use_confidence", False),
                 backend=self.backend,

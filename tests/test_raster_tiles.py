@@ -59,7 +59,23 @@ def test_binning_covers_bruteforce_tiles():
     for tile in range(gx * b.grid_y):
         for k in range(starts[tile], starts[tile] + counts[tile]):
             got.add((int(ids[k]), tile))
-    assert got == exp
+    # the expansion kernel culls (gaussian, tile) pairs whose maximum alpha
+    # over the tile is provably < 1/255 — never ones that can contribute
+    assert got <= exp
+    conics = np.asarray(proc.conics)
+    opac = np.asarray(proc.opacities)
+    for (i, tile) in exp - got:
+        ty, tx = divmod(tile, gx)
+        px, py = np.meshgrid(
+            tx * tiling.TILE + np.arange(tiling.TILE),
+            ty * tiling.TILE + np.arange(tiling.TILE),
+        )
+        dx = m2d[i, 0] - px
+        dy = m2d[i, 1] - py
+        a, bb, c = conics[i]
+        power = -0.5 * (a * dx * dx + c * dy * dy) - bb * dx * dy
+        araw = opac[i] * np.exp(power)
+        assert araw.max() < 1.0 / 255.0, (i, tile, araw.max())
 
     # depth-sorted within each tile
     depths = np.asarray(proc.depths)
