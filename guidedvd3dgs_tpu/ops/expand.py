@@ -109,9 +109,15 @@ def _expand_kernel(
     prev = jnp.concatenate([jnp.ones((BLK, 1), jnp.float32), ind[:, :-1]], axis=1)
     onehot = prev - ind  # (BLK, WIN), one 1 per row at the owner column
 
-    # (16, WIN) . (BLK, WIN)^T -> (16, BLK): contract the lane dims (NT matmul)
+    # (16, WIN) . (BLK, WIN)^T -> (16, BLK): contract the lane dims (NT
+    # matmul). precision=HIGHEST is MANDATORY: the TPU default matmul
+    # precision rounds f32 operands to bf16, silently corrupting the
+    # integer-valued table rows (offsets up to 2^20 -> errors of hundreds)
+    # and the means (+-2 px) — interpret mode computes exact f32, so only
+    # hardware runs see it. One-hot operands are exact either way.
     out = jax.lax.dot_general(
-        tabwin, onehot, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        tabwin, onehot, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
     S = jax.lax.dot_general(
         jnp.ones((1, WIN), jnp.float32), ind, (((1,), (1,)), ((), ())),

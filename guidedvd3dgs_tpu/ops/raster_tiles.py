@@ -102,7 +102,14 @@ def _chunk_blend_quantities(data, valid, pixx, pixy, T_in, done_in):
 
     lom = jnp.log1p(-alpha)
     tril = jnp.tril(jnp.ones((CHUNK, CHUNK), jnp.float32))
-    cum_incl = jax.lax.dot(tril, lom, preferred_element_type=jnp.float32)
+    # HIGHEST wherever an operand is real-valued f32: the TPU default
+    # matmul precision rounds f32 operands to bf16 (log-transmittance
+    # errors ~0.4%); 0/1-valued operands (tril, trigger) are exact either
+    # way, so the trigger prefix below stays at default precision.
+    cum_incl = jax.lax.dot(
+        tril, lom, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     T_before = T_in * jnp.exp(cum_incl - lom)
     T_after = T_before * (1.0 - alpha)
 
@@ -198,10 +205,12 @@ def _fwd_kernel(
         colors = data[:, F_R : F_R + 3]  # (CHUNK, 3)
         depths = data[:, F_D : F_D + 1]  # (CHUNK, 1)
         state_vmem[1:4] = state_vmem[1:4] + jax.lax.dot(
-            colors.T, w, preferred_element_type=jnp.float32
+            colors.T, w, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         state_vmem[4:5] = state_vmem[4:5] + jax.lax.dot(
-            depths.T, w, preferred_element_type=jnp.float32
+            depths.T, w, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         state_vmem[5:6] = state_vmem[5:6] + jnp.sum(w, axis=0, keepdims=True)
         state_vmem[0:1] = q["T_out"]
@@ -361,13 +370,17 @@ def _bwd_kernel(
 
         # u_i per instance-pixel: c_i . dC + d_i * dD + dA
         u = (
-            jax.lax.dot(colors, dC, preferred_element_type=jnp.float32)
+            jax.lax.dot(colors, dC, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
             + depths * dD
             + dA
         )
         wu = w * u
         tril = jnp.tril(jnp.ones((CHUNK, CHUNK), jnp.float32))
-        prefix_i = prefix + jax.lax.dot(tril, wu, preferred_element_type=jnp.float32)
+        prefix_i = prefix + jax.lax.dot(
+            tril, wu, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         S = U - prefix_i  # suffix sum AFTER instance i (incl. bg term)
 
         dalpha = jnp.where(
@@ -382,8 +395,10 @@ def _bwd_kernel(
         d_ca = jnp.sum(-0.5 * dx * dx * g_pow, axis=1, keepdims=True)
         d_cb = jnp.sum(-dx * dy * g_pow, axis=1, keepdims=True)
         d_cc = jnp.sum(-0.5 * dy * dy * g_pow, axis=1, keepdims=True)
-        d_col = jax.lax.dot(w, dC.T, preferred_element_type=jnp.float32)  # (CHUNK, 3)
-        d_d = jax.lax.dot(w, dD.T, preferred_element_type=jnp.float32)  # (CHUNK, 1)
+        d_col = jax.lax.dot(w, dC.T, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)  # (CHUNK, 3)
+        d_d = jax.lax.dot(w, dD.T, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)  # (CHUNK, 1)
 
         zeros = jnp.zeros((CHUNK, NUM_FIELDS - 10), jnp.float32)
         gout = jnp.concatenate(

@@ -76,8 +76,11 @@ def _segsum_kernel(
         + [jnp.zeros((16 - nf, BBLK), jnp.float32)],
         axis=0,
     )  # (16, BBLK)
+    # HIGHEST: the TPU default matmul precision would round the f32 grads
+    # to bf16 (the one-hot side is exact either way)
     seg = jax.lax.dot_general(
-        grads, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        grads, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )  # (16, OUTW)
 
     @pl.when(b == 0)
@@ -88,10 +91,15 @@ def _segsum_kernel(
     # carry: previous block's totals, lane-shifted into this block's window.
     # d is a difference of 128-multiples and bounded by BBLK (sorted ids
     # advance <= 1 per slot); the scratch tail beyond OUTW is always zero,
-    # so the shift pads zeros.
+    # so the shift pads zeros. Mosaic has no dynamic_slice lowering, so the
+    # shift selects among the BBLK/128 + 1 static 128-lane-step slices.
     prev_a0 = (a0s_ref[jnp.maximum(b - 1, 0)] // 128) * 128
-    d = ((a0 - prev_a0) // 128) * 128
-    carry = jax.lax.dynamic_slice(tot_vmem[1 - slot], (0, d), (16, OUTW))
+    d = a0 - prev_a0
+    prev_tot = tot_vmem[1 - slot]
+    carry = jnp.zeros((16, OUTW), jnp.float32)
+    for k in range(BBLK // 128 + 1):
+        sel = (d == k * 128).astype(jnp.float32)
+        carry = carry + sel * prev_tot[:, k * 128 : k * 128 + OUTW]
     total = seg + carry  # at b == 0 the scratch is freshly zeroed
 
     # serialize the overlapping window stores: wait for the previous store

@@ -65,6 +65,10 @@ def _depthwise_filter(img: jnp.ndarray, window: jnp.ndarray, pad: int) -> jnp.nd
     torch F.conv2d(groups=C) in the reference SSIM."""
     c = img.shape[1]
     kernel = jnp.broadcast_to(window[None, None], (c, 1, *window.shape))
+    # precision=HIGHEST is load-bearing on TPU: the default conv precision
+    # rounds f32 operands to bf16, and the E[x^2]-mu^2 variance cancellation
+    # in SSIM then yields negative variances larger than C2, exploding the
+    # per-pixel ratio (observed: SSIM "14.2" on real renders at default).
     return jax.lax.conv_general_dilated(
         img,
         kernel,
@@ -72,6 +76,7 @@ def _depthwise_filter(img: jnp.ndarray, window: jnp.ndarray, pad: int) -> jnp.nd
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
