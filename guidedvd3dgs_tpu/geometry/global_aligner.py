@@ -110,7 +110,10 @@ def depth_to_pts3d(state: AlignerState, cfg: AlignerConfig) -> jnp.ndarray:
     depth = jnp.exp(state.im_depth)[..., None]
     rel = jnp.concatenate([depth * (grid - pp) / focals, depth], -1)  # (V, HW, 3)
     c2w = poses_to_rt(state.im_poses)
-    return jnp.einsum("vij,vpj->vpi", c2w[:, :3, :3], rel) + c2w[:, None, :3, 3]
+    # HIGHEST: TPU default matmul precision rounds f32 to bf16 — the
+    # aligner optimizes metric point positions, 0.2% rotation error is real
+    return jnp.einsum("vij,vpj->vpi", c2w[:, :3, :3], rel,
+                      precision=jax.lax.Precision.HIGHEST) + c2w[:, None, :3, 3]
 
 
 def alignment_loss(
@@ -129,7 +132,8 @@ def alignment_loss(
                       norm_pw_scale=not cfg.pose_preset)
 
     def aligned(pred):
-        return jnp.einsum("eij,epj->epi", pw[:, :3, :3], pred) + pw[:, None, :3, 3]
+        return jnp.einsum("eij,epj->epi", pw[:, :3, :3], pred,
+                          precision=jax.lax.Precision.HIGHEST) + pw[:, None, :3, 3]
 
     area = pred_i.shape[1]
     li = (jnp.linalg.norm(pts[edges_i] - aligned(pred_i), axis=-1) * weight_i).sum()

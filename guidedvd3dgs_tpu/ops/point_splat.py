@@ -106,7 +106,11 @@ def splat_points_world(
     width: int,
     **kwargs,
 ) -> SplatOutput:
-    pts = points_world @ w2c[:3, :3].T + w2c[:3, 3]
+    # HIGHEST: TPU default matmul precision would round world coords to
+    # bf16 (~0.2% position error -> pixel-level splat misplacement)
+    pts = jnp.matmul(
+        points_world, w2c[:3, :3].T, precision=jax.lax.Precision.HIGHEST
+    ) + w2c[:3, 3]
     return splat_points(
         pts, colors,
         fx=intrinsics[0, 0], fy=intrinsics[1, 1],

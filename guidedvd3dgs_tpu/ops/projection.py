@@ -74,8 +74,11 @@ def _cov3d_components(scales, scale_modifier, rotations):
     lane-padded ~14x and batched-matmul'd on TPU)."""
     q = rotations
     norm = jnp.sqrt(
-        q[..., 0] * q[..., 0] + q[..., 1] * q[..., 1]
-        + q[..., 2] * q[..., 2] + q[..., 3] * q[..., 3]
+        jnp.maximum(
+            q[..., 0] * q[..., 0] + q[..., 1] * q[..., 1]
+            + q[..., 2] * q[..., 2] + q[..., 3] * q[..., 3],
+            1e-20,
+        )
     )
     r = q[..., 0] / norm
     x = q[..., 1] / norm
@@ -86,10 +89,13 @@ def _cov3d_components(scales, scale_modifier, rotations):
         (2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)),
         (2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)),
     )
+    # clamp: activated scales are exp(raw) and a runaway raw scale (inf s2)
+    # would NaN the VJP of every quantity touching cov3d (0 cotangent x inf
+    # partial) even though the Gaussian itself gets culled downstream
     s = (
-        scale_modifier * scales[..., 0],
-        scale_modifier * scales[..., 1],
-        scale_modifier * scales[..., 2],
+        jnp.minimum(scale_modifier * scales[..., 0], 1e9),
+        jnp.minimum(scale_modifier * scales[..., 1], 1e9),
+        jnp.minimum(scale_modifier * scales[..., 2], 1e9),
     )
     # L = R diag(s); Σ_ab = Σ_j L[a][j] L[b][j] = Σ_j s_j² R[a][j] R[b][j]
     s2 = (s[0] * s[0], s[1] * s[1], s[2] * s[2])
@@ -202,7 +208,10 @@ def compute_cov2d(
     """(N, 6)-packed cov3d -> (N, 3) [cov_xx, cov_xy, cov_yy] (kept for the
     dense-oracle API; delegates to the scalarized implementation)."""
     ones = jnp.ones((*means3d.shape[:-1], 1), means3d.dtype)
-    t = (jnp.concatenate([means3d, ones], -1) @ cam.viewmatrix)[..., :3]
+    t = jnp.matmul(
+        jnp.concatenate([means3d, ones], -1), cam.viewmatrix,
+        precision=jax.lax.Precision.HIGHEST,
+    )[..., :3]
     comps = compute_cov2d_components(
         t[..., 0], t[..., 1], t[..., 2],
         tuple(cov3d[..., i] for i in range(6)), cam,
@@ -244,24 +253,47 @@ def preprocess_gaussians(
 
     tvx, tvy, tvz = xform(V, 0), xform(V, 1), xform(V, 2)
     ph_x, ph_y, ph_w = xform(P, 0), xform(P, 1), xform(P, 3)
-    p_w = 1.0 / (ph_w + 1e-7)
 
     in_front = tvz > NEAR_CLIP
+
+    # Safe-where guards, load-bearing for training stability: the CUDA
+    # reference EARLY-RETURNS culled Gaussians before any cov2D math
+    # (reference forward.cu:165-171), but this masked whole-array compute
+    # evaluates every row. A Gaussian drifting to view-space z == 0 (one hit
+    # a bit-exact 0.0 in a real run) makes fx/tz = inf -> NaN conic; the
+    # forward masks it (visible=False) but (a) the NaN rides along in the
+    # binning field table, where the expansion kernel's windowed one-hot
+    # matmul turns NaN*0 into NaN for every instance sharing the window, and
+    # the segsum carry then poisons every later Gaussian id; (b) jax.grad of
+    # where(mask, safe, unsafe) is NaN whenever the unsafe branch is
+    # non-finite (0 cotangent * inf partial). One poisoned step NaN'd the
+    # whole model 6k iterations into a real training run.
+    tz_safe = jnp.where(in_front, tvz, jnp.ones_like(tvz))
+    p_w = 1.0 / jnp.where(in_front, ph_w + 1e-7, jnp.ones_like(ph_w))
 
     if cov3d_precomp is None:
         cov3d = _cov3d_components(scales, scale_modifier, rotations)
     else:
         cov3d = tuple(cov3d_precomp[..., i] for i in range(6))
-    cxx, cxy, cyy = compute_cov2d_components(tvx, tvy, tvz, cov3d, cam)
+    cxx, cxy, cyy = compute_cov2d_components(tvx, tvy, tz_safe, cov3d, cam)
 
     det = cxx * cyy - cxy * cxy
-    det_ok = det != 0.0
-    det_inv = 1.0 / jnp.where(det_ok, det, 1.0)
-    conic = jnp.stack([cyy * det_inv, -cxy * det_inv, cxx * det_inv], axis=-1)
+    # isfinite: exploding scales (exp overflow) must cull, not NaN the conic
+    det_ok = (det != 0.0) & jnp.isfinite(det)
+    cxx_s = jnp.where(det_ok, cxx, jnp.ones_like(cxx))
+    cxy_s = jnp.where(det_ok, cxy, jnp.zeros_like(cxy))
+    cyy_s = jnp.where(det_ok, cyy, jnp.ones_like(cyy))
+    det_s = cxx_s * cyy_s - cxy_s * cxy_s
+    det_inv = 1.0 / det_s
+    conic = jnp.stack([cyy_s * det_inv, -cxy_s * det_inv, cxx_s * det_inv], axis=-1)
 
-    mid = 0.5 * (cxx + cyy)
-    lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))
+    mid = 0.5 * (cxx_s + cyy_s)
+    lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det_s))
+    # cap below int32 range: a visible whole-screen Gaussian clamps to the
+    # tile grid in binning anyway, but the int32 cast must not wrap
+    radius = jnp.minimum(
+        jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-12))), 2.0**30
+    )
 
     means2d = jnp.stack(
         [ndc2pix(ph_x * p_w, cam.width), ndc2pix(ph_y * p_w, cam.height)], axis=-1
@@ -271,7 +303,10 @@ def preprocess_gaussians(
         dx = mx - cam.campos[0]
         dy = my - cam.campos[1]
         dz = mz - cam.campos[2]
-        inv_n = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        # max-guard: a mean coinciding with the camera center would give
+        # 1/sqrt(0) = inf (NaN gradients); such a Gaussian is behind the
+        # near plane and culled, but its row must stay finite (see above)
+        inv_n = 1.0 / jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20))
         dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
         n_coef = (sh_degree + 1) ** 2
         sh48 = [

@@ -408,11 +408,19 @@ class BaselineTrainer:
         checkpoint_iterations=(),
         checkpoint_dir=None,
         start_iteration=0,
+        nan_debug=False,
     ):
         """Chunked trainer: identical schedule semantics to `train` but runs
         up to densification_interval steps per device dispatch via
         `train_steps_chunk` — per-step host dispatch costs ~0.5 s through a
-        remotely-attached TPU, making the classic loop latency-bound."""
+        remotely-attached TPU, making the classic loop latency-bound.
+
+        nan_debug: snapshot the state before every chunk and halt on the
+        first non-finite parameter, dumping a replayable bundle (pre-chunk
+        state + the chunk's full schedule) next to the checkpoints — the
+        role of the reference's --detect_anomaly + debug snapshot dumps
+        (reference train_baseline.py:208, diff_gaussian_rasterization/
+        __init__.py:83-90)."""
         opt = self.opt
         iterations = iterations or opt.iterations
         rcs, gts, n_cams = self._stacked_train_cams()
@@ -450,6 +458,9 @@ class BaselineTrainer:
             apply_adam = (its < iterations) & ~do_densify
             update_stats = its < opt.densify_until_iter
 
+            if nan_debug:
+                prev_state = jax.device_get(self.state)
+
             self.state, metrics = train_steps_chunk(
                 self.state, rcs, gts,
                 jnp.asarray(cam_idx), jnp.asarray(xyz_lrs),
@@ -476,6 +487,33 @@ class BaselineTrainer:
                 self.maybe_grow()
             if it1 % opt.opacity_reset_interval == 0:
                 self.state = reset_opacity_jit(self.state)
+
+            if nan_debug:
+                p = self.state.params
+                ok = bool(
+                    jnp.isfinite(p.xyz).all()
+                    & jnp.isfinite(p.opacity).all()
+                    & jnp.isfinite(p.scaling).all()
+                )
+                if not ok:
+                    import pickle
+
+                    bundle = {
+                        "state": prev_state,
+                        "it0": it0, "it1": it1,
+                        "cam_idx": cam_idx, "xyz_lrs": xyz_lrs,
+                        "apply_adam": np.asarray(apply_adam),
+                        "update_stats": np.asarray(update_stats),
+                        "degrees": degrees,
+                        "max_instances": self.max_instances,
+                    }
+                    dump = f"{checkpoint_dir or '.'}/nan_chunk_{it0}_{it1}.pkl"
+                    with open(dump, "wb") as f:
+                        pickle.dump(bundle, f)
+                    raise RuntimeError(
+                        f"non-finite params after chunk {it0}->{it1}; "
+                        f"pre-chunk state + schedule dumped to {dump}"
+                    )
 
             if log_every and it1 % log_every == 0:
                 rate = (it1 - start_iteration) / (time.time() - t0)

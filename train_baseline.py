@@ -31,6 +31,9 @@ def main():
     parser.add_argument("--test_iterations", nargs="+", type=int, default=[10_000])
     parser.add_argument("--save_iterations", nargs="+", type=int, default=[10_000])
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--nan_debug", action="store_true",
+                        help="halt on first non-finite parameter, dumping a "
+                             "replayable pre-chunk bundle (detect_anomaly role)")
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--profile_dir", type=str, default=None,
@@ -74,7 +77,7 @@ def main():
     if args.no_scan or args.profile_dir:
         trainer.train(profile_dir=args.profile_dir, **kwargs)
     else:
-        trainer.train_scan(**kwargs)
+        trainer.train_scan(nan_debug=args.nan_debug, **kwargs)
     print("\nTraining complete.")
 
 
