@@ -84,7 +84,10 @@ def _chunk_alphas(
     dx, dy = d[..., 0], d[..., 1]
     a, b, c = conics[:, 0:1], conics[:, 1:2], conics[:, 2:3]
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-    araw = opacities[:, None] * jnp.exp(power)
+    # exp(power + log(op)) rather than op * exp(power): bit-identical to the
+    # tiles kernels' fused single-transcendental form, so threshold
+    # comparisons (araw >= 1/255) can't flip between the two backends
+    araw = jnp.exp(power + jnp.log(jnp.maximum(opacities[:, None], 1e-37)))
     # 0.99 clamp with pass-through gradient, matching the CUDA backward which
     # differentiates as if unclamped (reference: backward.cu dL_dG path)
     alpha = araw - jax.lax.stop_gradient(jnp.maximum(araw - ALPHA_MAX, 0.0))

@@ -53,6 +53,7 @@ from guidedvd3dgs_tpu.ops.tiling import (
     F_D,
     F_MX,
     F_MY,
+    F_ONE,
     F_OP,
     F_R,
     NUM_FIELDS,
@@ -83,19 +84,30 @@ def _pixel_coords(t, gx):
 
 def _chunk_blend_quantities(data, valid, pixx, pixy, T_in, done_in):
     """Shared fwd/bwd per-chunk math. data: (CHUNK, NUM_FIELDS) VMEM values.
-    Returns per-instance-per-pixel arrays shaped (CHUNK, TILE_PIX)."""
+    Returns per-instance-per-pixel arrays shaped (CHUNK, TILE_PIX).
+
+    VPU economy (the chunk loop is VPU-bound; every (CHUNK, TILE_PIX) op
+    costs ~32 cycles):
+      - one exp: araw = exp(power + log(op)) fuses the op*G product into
+        the exponent (log(op) is a narrow (CHUNK, 1) op)
+      - include = live & ~(done_in | trig_cum > 0): the inclusive trigger
+        prefix already covers both "a previous instance triggered" and
+        "this instance triggered" (trig_cum >= trigger)
+      - done_out reads the LAST ROW of trig_cum (total trigger count)
+        instead of a sublane any-reduction.
+    """
     mx = data[:, F_MX : F_MX + 1]
     my = data[:, F_MY : F_MY + 1]
     ca = data[:, F_CA : F_CA + 1]
     cb = data[:, F_CB : F_CB + 1]
     cc = data[:, F_CC : F_CC + 1]
     op = data[:, F_OP : F_OP + 1]
+    logop = jnp.log(jnp.maximum(op, 1e-37))  # narrow (CHUNK, 1)
 
     dx = mx - pixx  # (CHUNK, TILE_PIX)
     dy = my - pixy
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    G = jnp.exp(power)
-    araw = op * G
+    araw = jnp.exp(power + logop)  # op * exp(power), one transcendental
     alpha = jnp.minimum(ALPHA_MAX, araw)
     live = (power <= 0.0) & (araw >= ALPHA_EPS) & valid
     alpha = jnp.where(live, alpha, 0.0)
@@ -111,21 +123,20 @@ def _chunk_blend_quantities(data, valid, pixx, pixy, T_in, done_in):
         precision=jax.lax.Precision.HIGHEST,
     )
     T_before = T_in * jnp.exp(cum_incl - lom)
-    T_after = T_before * (1.0 - alpha)
 
-    trigger = (alpha > 0.0) & (T_after < T_EPS)
+    trigger = live & (T_before * (1.0 - alpha) < T_EPS)
     trig_cum = jax.lax.dot(tril, trigger.astype(jnp.float32), preferred_element_type=jnp.float32)
-    done_before = done_in | ((trig_cum - trigger.astype(jnp.float32)) > 0.0)
-    include = (alpha > 0.0) & (~done_before) & (~trigger)
+    ndone = done_in | (trig_cum > 0.0)
+    include = live & (~ndone)
 
     w = jnp.where(include, alpha * T_before, 0.0)
     T_out = T_in * jnp.exp(jnp.sum(jnp.where(include, lom, 0.0), axis=0, keepdims=True))
-    done_out = done_in | jnp.any(trigger, axis=0, keepdims=True)
+    done_out = done_in | (trig_cum[CHUNK - 1 : CHUNK, :] > 0.0)
     return dict(
-        dx=dx, dy=dy, G=G, alpha=alpha, araw=jnp.where(live, araw, 0.0),
+        alpha=alpha, araw=jnp.where(live, araw, 0.0),
         include=include, w=w,
-        T_before=T_before, T_out=T_out, done_out=done_out, op=op,
-        ca=ca, cb=cb, cc=cc,
+        T_before=T_before, T_out=T_out, done_out=done_out,
+        mx=mx, my=my, op=op, ca=ca, cb=cb, cc=cc,
     )
 
 
@@ -202,17 +213,14 @@ def _fwd_kernel(
         done = state_vmem[6:7] > 0.5
         q = _chunk_blend_quantities(data, valid, pixx, pixy, T, done)
         w = q["w"]
-        colors = data[:, F_R : F_R + 3]  # (CHUNK, 3)
-        depths = data[:, F_D : F_D + 1]  # (CHUNK, 1)
-        state_vmem[1:4] = state_vmem[1:4] + jax.lax.dot(
-            colors.T, w, preferred_element_type=jnp.float32,
+        # fused accumulate: rows F_R..F_ONE of the chunk are [R, G, B, D, 1]
+        # (the constant ones row comes from the binner), so color, depth and
+        # alpha accumulation is ONE (5, CHUNK) x (CHUNK, TILE_PIX) matmul
+        cd1 = chunk_vmem[slot][F_R : F_ONE + 1, :]  # (5, CHUNK)
+        state_vmem[1:6] = state_vmem[1:6] + jax.lax.dot(
+            cd1, w, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        state_vmem[4:5] = state_vmem[4:5] + jax.lax.dot(
-            depths.T, w, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        state_vmem[5:6] = state_vmem[5:6] + jnp.sum(w, axis=0, keepdims=True)
         state_vmem[0:1] = q["T_out"]
         done_new = q["done_out"]
         state_vmem[6:7] = done_new.astype(jnp.float32)
@@ -363,17 +371,15 @@ def _bwd_kernel(
         prefix = state_vmem[1:2]
         done = state_vmem[2:3] > 0.5
         q = _chunk_blend_quantities(data, valid, pixx, pixy, T, done)
-        w, include, alpha, G = q["w"], q["include"], q["alpha"], q["G"]
-        dx, dy = q["dx"], q["dy"]
-        colors = data[:, F_R : F_R + 3]
-        depths = data[:, F_D : F_D + 1]
+        w, include, alpha = q["w"], q["include"], q["alpha"]
 
-        # u_i per instance-pixel: c_i . dC + d_i * dD + dA
-        u = (
-            jax.lax.dot(colors, dC, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-            + depths * dD
-            + dA
+        # u_i per instance-pixel: c_i . dC + d_i * dD + dA — rows F_R..F_ONE
+        # are [R, G, B, D, 1] and cotangent rows 0..4 are [dC(3), dD, dA],
+        # so u is ONE (CHUNK, 5) x (5, TILE_PIX) matmul (ones-row fusion)
+        u = jax.lax.dot(
+            data[:, F_R : F_ONE + 1], cot_ref[0, 0:5, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         wu = w * u
         tril = jnp.tril(jnp.ones((CHUNK, CHUNK), jnp.float32))
@@ -389,20 +395,62 @@ def _bwd_kernel(
         # alpha = op * e^power with the 0.99 clamp passed through, matching
         # the CUDA backward (dL_dG = op * dL_dalpha regardless of clamping)
         g_pow = dalpha * q["araw"]
-        d_op = jnp.sum(jnp.where(include, dalpha * G, 0.0), axis=1, keepdims=True)
-        d_mx = jnp.sum(-(q["ca"] * dx + q["cb"] * dy) * g_pow, axis=1, keepdims=True)
-        d_my = jnp.sum(-(q["cc"] * dy + q["cb"] * dx) * g_pow, axis=1, keepdims=True)
-        d_ca = jnp.sum(-0.5 * dx * dx * g_pow, axis=1, keepdims=True)
-        d_cb = jnp.sum(-dx * dy * g_pow, axis=1, keepdims=True)
-        d_cc = jnp.sum(-0.5 * dy * dy * g_pow, axis=1, keepdims=True)
-        d_col = jax.lax.dot(w, dC.T, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)  # (CHUNK, 3)
-        d_d = jax.lax.dot(w, dD.T, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)  # (CHUNK, 1)
+
+        # Per-pixel moment reductions on the MXU instead of seven sublane
+        # reductions: every screen-space gradient is a linear combination of
+        # the g_pow moments against the TILE-LOCAL pixel polynomial basis
+        # [1, cx, cy, cx^2, cx*cy, cy^2] (cx, cy in [0, 16) — a compile-time
+        # constant, exactly representable at any matmul precision), then
+        # narrow (CHUNK, 1) algebra rebinds the moments to the Gaussian mean:
+        #   sum_p g dx       = lx*S0 - Sx            (dx = lx - cx)
+        #   sum_p g dx^2     = lx^2*S0 - 2 lx Sx + Sxx   etc.
+        # Cancellation is benign: |dx| >= |lx| - 15, so the lx-scaled terms
+        # never exceed the result by more than ~(lx/(lx-15))^2.
+        ppix = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIX, 1), 0)
+        cx = (ppix % TILE).astype(jnp.float32)
+        cy = (ppix // TILE).astype(jnp.float32)
+        basis = jnp.concatenate(
+            [jnp.ones((TILE_PIX, 1), jnp.float32), cx, cy, cx * cx, cx * cy,
+             cy * cy], axis=1
+        )  # (TILE_PIX, 6)
+        mom = jax.lax.dot(
+            g_pow, basis, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (CHUNK, 6): S0, Sx, Sy, Sxx, Sxy, Syy
+        S0 = mom[:, 0:1]
+        Sx = mom[:, 1:2]
+        Sy = mom[:, 2:3]
+        Sxx = mom[:, 3:4]
+        Sxy = mom[:, 4:5]
+        Syy = mom[:, 5:6]
+        tx = jax.lax.rem(t, gx)
+        ty = jax.lax.div(t, gx)
+        lx = q["mx"] - (tx * TILE).astype(jnp.float32)  # narrow (CHUNK, 1)
+        ly = q["my"] - (ty * TILE).astype(jnp.float32)
+        Mx = lx * S0 - Sx  # sum_p g_pow * dx
+        My = ly * S0 - Sy
+        Mxx = lx * lx * S0 - 2.0 * lx * Sx + Sxx
+        Mxy = lx * ly * S0 - lx * Sy - ly * Sx + Sxy
+        Myy = ly * ly * S0 - 2.0 * ly * Sy + Syy
+        ca, cb, cc, op = q["ca"], q["cb"], q["cc"], q["op"]
+        d_mx = -(ca * Mx + cb * My)
+        d_my = -(cc * My + cb * Mx)
+        d_ca = -0.5 * Mxx
+        d_cb = -Mxy
+        d_cc = -0.5 * Myy
+        # d_op = sum dalpha * G = (sum dalpha * araw) / op = S0 / op
+        d_op = S0 / jnp.maximum(op, 1e-12)
+
+        # color + depth grads fused: cotangent rows 0..3 are [dC(3), dD]
+        d_colD = jax.lax.dot_general(
+            w, cot_ref[0, 0:4, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (CHUNK, 4)
 
         zeros = jnp.zeros((CHUNK, NUM_FIELDS - 10), jnp.float32)
         gout = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col, d_d, zeros], axis=1
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_colD, zeros], axis=1
         )
 
         # Pure store: the chunk belongs to this tile alone (CHUNK-aligned

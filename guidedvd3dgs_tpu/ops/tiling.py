@@ -19,8 +19,11 @@ never gathered:
      -> CHUNK-aligned segment starts; alignment pad instances are
      synthesized with per-tile keys that sort after every real instance
      of their tile
-  4. one 12-operand stable sort carries key + owner + all 10 render
-     fields into tile-major depth order AND aligned layout in one shot.
+  4. one 11-operand stable sort carries key + owner + 9 render fields
+     into tile-major depth order AND aligned layout in one shot; the
+     depth field is reconstructed from the sorted key's quantized-depth
+     bits rather than carried as a payload (sorts cost ~1.2 ms/operand
+     at M=2.5M).
 
 Every CHUNK-sized block of the final instance buffer belongs to exactly
 one tile, so the backward kernel writes per-instance gradients as pure
@@ -47,9 +50,11 @@ from guidedvd3dgs_tpu.ops.projection import ProcessedGaussians
 
 TILE = 16  # matches reference BLOCK_X/BLOCK_Y (config.h:16-17)
 CHUNK = 128  # kernel streaming granularity; tile segments are CHUNK-aligned
-NUM_FIELDS = 16  # packed per-instance rows (10 used, padded for tiling)
-# field row indices in the packed instance array
-F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_D = range(10)
+NUM_FIELDS = 16  # packed per-instance rows (11 used, padded for tiling)
+# field row indices in the packed instance array; F_ONE is a constant-1 row
+# so the blend kernels can fuse [colors, depth, 1] x w accumulations into a
+# single MXU matmul (alpha accumulation rides the ones row)
+F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_D, F_ONE = range(11)
 
 
 class TileBinning(NamedTuple):
@@ -166,15 +171,30 @@ def bin_gaussians(
     )
 
     zcol = jnp.zeros((pad_cap,), jnp.float32)
+    # depth is NOT carried through the sort: the sort key already encodes the
+    # quantized depth in its low bits, so the F_D row is reconstructed from
+    # the sorted keys below (saves one payload operand; sorts cost
+    # ~1.2 ms/operand at M=2.5M, tools/profile_prims.py). Dequantization
+    # error <= drange * 2^-depth_bits (~1e-7 relative at 21 bits).
     ops = (
         jnp.concatenate([keys, tail_key]),
         jnp.concatenate([gs, jnp.full((pad_cap,), n, jnp.int32)]),
-    ) + tuple(jnp.concatenate([fields[i], zcol]) for i in range(10))
+    ) + tuple(jnp.concatenate([fields[i], zcol]) for i in range(F_D))
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
     inst_gauss = sorted_ops[1]
     m_pad = m + pad_cap
+    dq_sorted = (sorted_ops[0] & jnp.int32((1 << depth_bits) - 1)).astype(
+        jnp.float32
+    )
+    depth_row = dmin + (dq_sorted + 0.5) * (drange / dscale)
+    ones_row = jnp.ones((1, m_pad), jnp.float32)  # F_ONE: fused-accumulate row
     inst_data = jnp.concatenate(
-        [jnp.stack(sorted_ops[2:], axis=0), jnp.zeros((6, m_pad), jnp.float32)],
+        [
+            jnp.stack(sorted_ops[2:], axis=0),
+            depth_row[None],
+            ones_row,
+            jnp.zeros((5, m_pad), jnp.float32),
+        ],
         axis=0,
     )  # (NUM_FIELDS, m_pad); HBM lane dim = m_pad for 128-aligned kernel DMAs
 

@@ -32,6 +32,7 @@ def main():
     cam = make_camera()
     bg = jnp.zeros((3,), jnp.float32)
     means, scales, rots, opac, shs = make_inputs()
+    n = means.shape[0]
 
     def preproc(eps, m_, s_, r_, o_, sh_):
         return preprocess_gaussians(m_ + eps, s_, r_, o_, sh_, cam, sh_degree=3)
@@ -90,24 +91,18 @@ def main():
 
     timeit("reduce: 11-op sort", sort11, gi, b.inst_gauss)
 
-    def cumb(eps, g):
-        return rt._blocked_cumsum(g[:10] + eps)
+    def segs(eps, g, ids):
+        from guidedvd3dgs_tpu.ops import segsum
+        sorted_ops = jax.lax.sort(
+            (ids,) + tuple(g[i] for i in range(10)), num_keys=1, is_stable=True
+        )
+        return segsum.segment_sum_sorted(
+            sorted_ops[0], tuple(o + eps for o in sorted_ops[1:]), n
+        )
 
-    timeit("reduce: blocked cumsum (10,Mp)", cumb, gi)
-
-    P = jax.jit(lambda g: rt._blocked_cumsum(g[:10]))(gi)
-
-    def boundary(eps, P_, cum):
-        m = P_.shape[1]
-        hi = jnp.take(P_ + eps, jnp.clip(cum - 1, 0, m - 1), axis=1)
-        hi = jnp.where((cum > 0)[None, :], hi, 0.0)
-        lo = jnp.concatenate([jnp.zeros((hi.shape[0], 1), hi.dtype), hi[:, :-1]], axis=1)
-        return hi - lo
-
-    timeit("reduce: boundary gather", boundary, P, b.gauss_cum)
+    timeit("reduce: sort11+segsum kernel", segs, gi, b.inst_gauss)
 
     # binning internals
-    n = means.shape[0]
     num_tiles = GX * GY
 
     def expand_only(eps, p):
