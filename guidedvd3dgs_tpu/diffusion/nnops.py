@@ -134,11 +134,64 @@ def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
     return lax.reduce_window(x, 0.0, lax.add, window, window, "VALID") / 4.0
 
 
+# Fused (flash) attention for long self-attention sequences. The einsum
+# path materializes (B, H, N, N) f32 logits — ~2.5 GB per call for the
+# full-size engine's base-level spatial self-attention (N = 40*56 = 2240,
+# 25 frames) — while the Pallas TPU flash kernel streams KV blocks with an
+# online softmax (no N^2 residents, custom VJP included). TPU-only; CPU /
+# interpret runs fall back to the einsum path automatically.
+_FUSED_ATTENTION = [True]
+_FUSED_MIN_SEQ = 1024
+
+
+def set_fused_attention(flag: bool) -> None:
+    _FUSED_ATTENTION[0] = flag
+
+
+def _flash_attention_padded(q, k, v, scale: float) -> jnp.ndarray:
+    """Self-attention via the Pallas TPU flash kernel, zero-padding the
+    sequence to the kernel's 128-token block granularity. Pad KV tokens are
+    excluded with segment ids (pad queries attend only among themselves and
+    are sliced off)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention,
+    )
+
+    b, h, n, d = q.shape
+    n_pad = -(-n // 128) * 128
+    if n_pad != n:
+        pad = [(0, 0), (0, 0), (0, n_pad - n), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+        seg = jnp.concatenate(
+            [jnp.ones((b, n), jnp.int32), jnp.full((b, n_pad - n), 2, jnp.int32)],
+            axis=1,
+        )
+        segment_ids = SegmentIds(q=seg, kv=seg)
+    else:
+        segment_ids = None
+    out = flash_attention(q, k, v, segment_ids=segment_ids, sm_scale=scale)
+    return out[:, :, :n, :]
+
+
 def attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     bias: Optional[jnp.ndarray] = None, mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Plain softmax attention; q,k,v: (B, H, N, D). Softmax in f32."""
+    """Softmax attention; q,k,v: (B, H, N, D). Softmax in f32.
+
+    Long unmasked self-attention dispatches to the Pallas flash kernel on
+    TPU (see _flash_attention_padded); everything else — cross-attention
+    over short contexts, masked/biased attention, CPU runs — uses the plain
+    einsum path (reference lvdm/modules/attention.py:100-127 semantics)."""
+    if (
+        _FUSED_ATTENTION[0]
+        and bias is None
+        and mask is None
+        and q.shape[2] == k.shape[2]
+        and q.shape[2] >= _FUSED_MIN_SEQ
+        and jax.default_backend() in ("tpu", "axon")  # axon = tunneled TPU
+    ):
+        return _flash_attention_padded(q, k, v, scale)
     sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * scale
     if bias is not None:
         sim = sim + bias

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from guidedvd3dgs_tpu.diffusion.nnops import (
     Params,
+    attention,
     avg_pool_2x,
     conv2d,
     group_norm,
@@ -54,12 +55,12 @@ def _attn_block(p: Params, prefix: str, x: jnp.ndarray):
     """Single-head spatial self-attention (reference ae_modules.py:26-77)."""
     b, hh, ww, c = x.shape
     h = group_norm(p, f"{prefix}.norm", x, eps=1e-6)
-    q = conv2d(p, f"{prefix}.q", h, padding=0).reshape(b, hh * ww, c)
-    k = conv2d(p, f"{prefix}.k", h, padding=0).reshape(b, hh * ww, c)
-    v = conv2d(p, f"{prefix}.v", h, padding=0).reshape(b, hh * ww, c)
-    sim = jnp.einsum("bic,bjc->bij", q, k, preferred_element_type=jnp.float32) * (c ** -0.5)
-    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bij,bjc->bic", attn, v).reshape(b, hh, ww, c)
+    q = conv2d(p, f"{prefix}.q", h, padding=0).reshape(b, 1, hh * ww, c)
+    k = conv2d(p, f"{prefix}.k", h, padding=0).reshape(b, 1, hh * ww, c)
+    v = conv2d(p, f"{prefix}.v", h, padding=0).reshape(b, 1, hh * ww, c)
+    # nnops.attention routes long sequences (full-size: 40*56 = 2240 tokens)
+    # through the Pallas flash kernel on TPU; einsum otherwise
+    out = attention(q, k, v, c ** -0.5).reshape(b, hh, ww, c)
     return x + conv2d(p, f"{prefix}.proj_out", out, padding=0)
 
 
