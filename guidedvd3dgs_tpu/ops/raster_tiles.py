@@ -66,6 +66,16 @@ ALPHA_MAX = 0.99
 
 _INTERPRET = [False]  # flipped by tests on CPU
 
+# Matmul precision for the real-valued kernel matmuls (log-transmittance
+# prefix, accumulators, backward moments). HIGHEST = exact f32 (6 MXU
+# passes); HIGH = 3-pass split (~1e-5 relative) — measurably faster, set
+# via set_matmul_precision for perf experiments. Tests pin HIGHEST.
+_MM_PRECISION = [jax.lax.Precision.HIGHEST]
+
+
+def set_matmul_precision(prec):
+    _MM_PRECISION[0] = prec
+
 
 def set_interpret(flag: bool):
     _INTERPRET[0] = flag
@@ -120,7 +130,7 @@ def _chunk_blend_quantities(data, valid, pixx, pixy, T_in, done_in):
     # way, so the trigger prefix below stays at default precision.
     cum_incl = jax.lax.dot(
         tril, lom, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_MM_PRECISION[0],
     )
     T_before = T_in * jnp.exp(cum_incl - lom)
 
@@ -219,7 +229,7 @@ def _fwd_kernel(
         cd1 = chunk_vmem[slot][F_R : F_ONE + 1, :]  # (5, CHUNK)
         state_vmem[1:6] = state_vmem[1:6] + jax.lax.dot(
             cd1, w, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MM_PRECISION[0],
         )
         state_vmem[0:1] = q["T_out"]
         done_new = q["done_out"]
@@ -379,13 +389,13 @@ def _bwd_kernel(
         u = jax.lax.dot(
             data[:, F_R : F_ONE + 1], cot_ref[0, 0:5, :],
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MM_PRECISION[0],
         )
         wu = w * u
         tril = jnp.tril(jnp.ones((CHUNK, CHUNK), jnp.float32))
         prefix_i = prefix + jax.lax.dot(
             tril, wu, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MM_PRECISION[0],
         )
         S = U - prefix_i  # suffix sum AFTER instance i (incl. bg term)
 
@@ -415,7 +425,7 @@ def _bwd_kernel(
         )  # (TILE_PIX, 6)
         mom = jax.lax.dot(
             g_pow, basis, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MM_PRECISION[0],
         )  # (CHUNK, 6): S0, Sx, Sy, Sxx, Sxy, Syy
         S0 = mom[:, 0:1]
         Sx = mom[:, 1:2]
@@ -445,7 +455,7 @@ def _bwd_kernel(
         d_colD = jax.lax.dot_general(
             w, cot_ref[0, 0:4, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MM_PRECISION[0],
         )  # (CHUNK, 4)
 
         zeros = jnp.zeros((CHUNK, NUM_FIELDS - 10), jnp.float32)
