@@ -103,7 +103,13 @@ def _timed(rep_fn, args):
 
 
 def bench():
+    from guidedvd3dgs_tpu.ops import raster_tiles
     from guidedvd3dgs_tpu.ops.raster_tiles import CHUNK, rasterize_tiles
+
+    # GVD_MM_PRECISION=high: 3-pass f32 split kernels (~1e-5 relative) for
+    # precision/perf A-B runs; default stays exact-f32 HIGHEST
+    if os.environ.get("GVD_MM_PRECISION", "").lower() == "high":
+        raster_tiles.set_matmul_precision(jax.lax.Precision.HIGH)
 
     cam = make_camera()
     bg = jnp.zeros((3,), jnp.float32)

@@ -641,17 +641,50 @@ def _raster_fwd_impl(
 
 
 def _raster_fwd(static_cfg, height, width, *args):
-    out, res = _raster_fwd_impl(static_cfg, height, width, *args)
-    return out, res
+    """AD-path forward: preprocess runs under jax.vjp so its linearization
+    residuals are SAVED for the backward instead of re-running the whole
+    preprocess forward there (the reference CUDA backward also reuses
+    forward state, backward.cu:416-455)."""
+    sh_degree, scale_modifier, max_instances, *_ = static_cfg
+    (
+        means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
+        means2d_offset, viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg,
+        active_mask, active_degree,
+    ) = args
+    cam = RasterCamera(viewmatrix, projmatrix, campos, tanfovx, tanfovy, height, width)
+
+    def preproc_only(md, sc, rot, op, sh, cpre, cov, off):
+        return _preproc_screen(
+            md, sc, rot, op, sh, cpre, cov, off, cam, sh_degree, scale_modifier,
+            active_mask, active_degree,
+        )
+
+    ((m2d, depths, conics, colors, opacs), pre_vjp, proc) = jax.vjp(
+        preproc_only, means3d, scales, rotations, opacities, shs,
+        colors_precomp, cov3d_precomp, means2d_offset, has_aux=True,
+    )
+    proc_screen = proc._replace(means2d=m2d)
+    binning = tiling.bin_gaussians(proc_screen, width, height, max_instances)
+    C, D, A = _run_fwd(
+        binning.inst_data, binning.tile_start, binning.tile_count, bg,
+        binning.grid_x, binning.grid_y,
+    )
+    color = C[:, :height, :width]
+    depth = D[:height, :width]
+    alpha = A[:height, :width]
+    diag = (binning.overflow, binning.num_instances)
+    residuals = (
+        binning, C, D, A, pre_vjp,
+        viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_degree,
+    )
+    return (color, depth, alpha, proc.radii, diag), residuals
 
 
 def _raster_bwd(static_cfg, height, width, res, cotangents):
     sh_degree, scale_modifier, max_instances, has_sh, has_cpre, has_cov, has_off = static_cfg
     (
-        binning, C, D, A,
-        means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
-        means2d_offset, viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_mask,
-        active_degree,
+        binning, C, D, A, pre_vjp,
+        viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_degree,
     ) = res
     dcolor, ddepth, dalpha, _dradii, _ddiag = cotangents
 
@@ -673,19 +706,7 @@ def _raster_bwd(static_cfg, height, width, res, cotangents):
     d_color = acc[F_R : F_R + 3].T
     d_depth = acc[F_D]
 
-    cam = RasterCamera(viewmatrix, projmatrix, campos, tanfovx, tanfovy, height, width)
-
-    def preproc_only(md, sc, rot, op, sh, cpre, cov, off):
-        out, _ = _preproc_screen(
-            md, sc, rot, op, sh, cpre, cov, off, cam, sh_degree, scale_modifier,
-            active_mask, active_degree,
-        )
-        return out
-
-    diff_args = (means3d, scales, rotations, opacities, shs, colors_precomp,
-                 cov3d_precomp, means2d_offset)
-    _, vjp_fn = jax.vjp(preproc_only, *diff_args)
-    grads = vjp_fn((d_m2d, d_depth, d_conic, d_color, d_opac))
+    grads = pre_vjp((d_m2d, d_depth, d_conic, d_color, d_opac))
     (g_means3d, g_scales, g_rots, g_opac, g_shs, g_cpre, g_cov, g_off) = grads
 
     zero_like = lambda x: None if x is None else jnp.zeros_like(x)
