@@ -34,6 +34,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+
+def force(x):
+    """Completion barrier: block_until_ready is NOT reliable through the
+    remote (axon) TPU tunnel — only a host readback is (see bench.py)."""
+    leaf = jax.tree.leaves(x)[0]
+    return np.asarray(leaf.ravel()[0:1])
+
+
 def mem_stats():
     try:
         s = jax.devices()[0].memory_stats()
@@ -80,7 +88,7 @@ def main():
     # bf16 weights on device (the reference holds fp32 master + autocast;
     # inference-only here, so bf16 storage halves HBM)
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
-    jax.block_until_ready(jax.tree.leaves(params)[0])
+    force(params)
     print(f"  placed bf16: {mem_stats()}", flush=True)
 
     rng = jax.random.key(1)
@@ -89,7 +97,7 @@ def main():
     # --- stage A: conditioning + one UNet fwd -------------------------------
     t0 = time.time()
     cond, uncond, _ = build_conditioning(params, mcfg, scfg, video, rng)
-    jax.block_until_ready(cond.context)
+    force(cond.context)
     print(f"A1 conditioning built in {time.time()-t0:.0f}s {mem_stats()}", flush=True)
 
     x = jax.random.normal(jax.random.key(3), (1, T, H // 8, W // 8, 4))
@@ -97,11 +105,11 @@ def main():
     fwd = jax.jit(lambda x, t: apply_model(params, mcfg, x, t, cond))
     t0 = time.time()
     v = fwd(x, jnp.asarray([500]))
-    jax.block_until_ready(v)
+    force(v)
     compile_s = time.time() - t0
     t0 = time.time()
     v = fwd(x, jnp.asarray([500]))
-    jax.block_until_ready(v)
+    force(v)
     print(
         f"A2 UNet fwd: compile {compile_s:.0f}s, run {1000*(time.time()-t0):.0f}ms, "
         f"finite={bool(jnp.isfinite(v.astype(jnp.float32)).all())} {mem_stats()}",
@@ -131,11 +139,11 @@ def main():
     )
     t0 = time.time()
     out = step_fn(x, jnp.int32(scfg.ddim_steps - 1), jax.random.key(5))
-    jax.block_until_ready(out)
+    force(out)
     compile_s = time.time() - t0
     t0 = time.time()
     out = step_fn(x, jnp.int32(scfg.ddim_steps - 1), jax.random.key(5))
-    jax.block_until_ready(out)
+    force(out)
     xp = out[0]
     print(
         f"B guided step: compile {compile_s:.0f}s, run {time.time()-t0:.1f}s, "
@@ -149,7 +157,7 @@ def main():
             params, mcfg, scfg, video, jax.random.key(6),
             guidance_fn=guidance_fn, guided_cfg=GuidedSampleConfig(),
         )
-        jax.block_until_ready(frames)
+        force(frames)
         print(
             f"C full {scfg.ddim_steps}-step guided sample: {time.time()-t0:.0f}s, "
             f"finite={bool(jnp.isfinite(frames.astype(jnp.float32)).all())} {mem_stats()}",
