@@ -309,8 +309,19 @@ def preprocess_gaussians(
         inv_n = 1.0 / jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20))
         dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
         n_coef = (sh_degree + 1) ** 2
+        # One layout change instead of 3*n_coef strided slices: pulling
+        # coefficient columns directly out of the (..., K, 3) tensor makes
+        # XLA stream the whole 192 MB (at 1M Gaussians) table once PER
+        # COEFFICIENT — and the VJP scatter back is as bad (measured: SH
+        # accounted for ~30 of 36 ms of the preprocess backward,
+        # tools/profile_preproc.py). moveaxis gives (3K, ...) with each
+        # coefficient a contiguous row; its transpose-VJP is one pass too.
+        sh_rows = jnp.moveaxis(
+            shs.reshape(*shs.shape[:-2], shs.shape[-2] * 3), -1, 0
+        )
         sh48 = [
-            (shs[..., k, 0], shs[..., k, 1], shs[..., k, 2]) for k in range(n_coef)
+            (sh_rows[3 * k], sh_rows[3 * k + 1], sh_rows[3 * k + 2])
+            for k in range(n_coef)
         ]
         r, g, b = _eval_sh_channels(sh_degree, sh48, dx, dy, dz, active_degree)
         color = jnp.stack(

@@ -551,18 +551,45 @@ def _run_bwd(
 # per-Gaussian gradient reduction
 # ----------------------------------------------------------------------------
 
+# Pack the 10 per-instance grad rows into 5 bf16-pair int32 payloads for
+# the reduce sort (sort payloads cost ~2.2 ms each at M=2.5M; bf16 keeps
+# f32 range with ~0.4% relative — far below SGD's minibatch noise). The
+# CUDA reference accumulates f32 atomics; exact-f32 reduction stays
+# available via set_pack_grads(False) (used by the oracle parity tests).
+_PACK_GRADS = [True]
+
+
+def set_pack_grads(flag: bool) -> None:
+    _PACK_GRADS[0] = flag
+
+
 def _reduce_per_gaussian(grad_inst: jnp.ndarray, binning) -> jnp.ndarray:
     """(NUM_FIELDS, M) per-instance grads -> (10, N) per-Gaussian sums.
 
     Deterministic replacement for the CUDA atomicAdd reduction (reference
-    backward.cu:555-598). One 11-operand stable sort keyed by gaussian id
-    regroups the grads contiguously (measured 17.5 ms at M=2.5M vs 39 ms
-    for the old 2-op sort + row gather: random row gathers are the
-    expensive primitive on TPU, sort payload operands are cheap), then the
-    streaming segmented-sum kernel (ops/segsum.py) collapses segments in
-    one pass.
+    backward.cu:555-598). One stable sort keyed by gaussian id regroups
+    the grads contiguously (sort payload operands are ~20-60x cheaper than
+    random row gathers on TPU), then the streaming segmented-sum kernel
+    (ops/segsum.py) collapses segments in one pass.
     """
     n = binning.gauss_cum.shape[0]
+    if _PACK_GRADS[0]:
+        packed = tuple(
+            tiling._pack_bf16(grad_inst[2 * i], grad_inst[2 * i + 1])
+            for i in range(5)
+        )
+        sorted_ops = jax.lax.sort(
+            (binning.inst_gauss,) + packed, num_keys=1, is_stable=True
+        )
+        rows = []
+        for i in range(5):
+            a, b = tiling._unpack_bf16(sorted_ops[1 + i])
+            rows.extend((a, b))
+        # DEFAULT matmul precision is exact here: the unpacked values are
+        # bf16-representable, so the MXU's bf16 operand rounding is lossless
+        return segsum.segment_sum_sorted(
+            sorted_ops[0], tuple(rows), n, precision=jax.lax.Precision.DEFAULT
+        )
     ops = (binning.inst_gauss,) + tuple(grad_inst[i] for i in range(10))
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
     return segsum.segment_sum_sorted(sorted_ops[0], sorted_ops[1:], n)

@@ -54,6 +54,7 @@ def _segsum_kernel(
     ids_ref,  # (BBLK, 1) i32 block: sorted gaussian ids (column layout)
     *rest,
     nf: int,
+    precision,
 ):
     grad_refs = rest[:nf]  # nf x (1, BBLK) f32 blocks
     # rest[nf] is the zero buffer aliased onto the output (never read here)
@@ -76,11 +77,14 @@ def _segsum_kernel(
         + [jnp.zeros((16 - nf, BBLK), jnp.float32)],
         axis=0,
     )  # (16, BBLK)
-    # HIGHEST: the TPU default matmul precision would round the f32 grads
-    # to bf16 (the one-hot side is exact either way)
+    # HIGHEST when the operands are raw f32 (default precision would round
+    # them to bf16); DEFAULT when the caller's values are already
+    # bf16-representable (the packed-grad reduce path) — then the bf16
+    # rounding is exact and the f32 accumulation unchanged, at half the
+    # MXU passes. One-hot side is exact either way.
     seg = jax.lax.dot_general(
         grads, onehot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=precision,
     )  # (16, OUTW)
 
     @pl.when(b == 0)
@@ -134,6 +138,7 @@ def segment_sum_sorted(
     ids: jnp.ndarray,  # (M,) i32 sorted gaussian ids (id n = padding)
     grads: tuple,  # nf arrays (M,) f32, id-sorted
     n: int,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     """Per-Gaussian sums (nf, n) of id-sorted per-instance values.
 
@@ -148,7 +153,7 @@ def segment_sum_sorted(
     nout = -(-(n + 1) // 128) * 128 + OUTW
     a0s = ids[::BBLK].astype(jnp.int32)
 
-    kernel = functools.partial(_segsum_kernel, nf=nf)
+    kernel = functools.partial(_segsum_kernel, nf=nf, precision=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),

@@ -50,6 +50,49 @@ from guidedvd3dgs_tpu.ops.projection import ProcessedGaussians
 
 TILE = 16  # matches reference BLOCK_X/BLOCK_Y (config.h:16-17)
 CHUNK = 128  # kernel streaming granularity; tile segments are CHUNK-aligned
+# Carry opacity+RGB through the binning sort as two f16-packed int32
+# payloads instead of four f32 operands (sort payloads cost ~2.2 ms each at
+# M=2.5M). f16 keeps ~2^-11 relative on values in [0, ~4] — far below the
+# 8-bit render targets. Parity tests against the exact dense oracle switch
+# this off via set_pack_fields.
+_PACK_FIELDS = [True]
+
+
+def set_pack_fields(flag: bool) -> None:
+    _PACK_FIELDS[0] = flag
+
+
+def _pack_f16(a: "jnp.ndarray", b: "jnp.ndarray") -> "jnp.ndarray":
+    """Two f32 rows -> one int32 row of (f16(a) << 16) | f16(b)."""
+    ah = jax.lax.bitcast_convert_type(a.astype(jnp.float16), jnp.uint16)
+    bh = jax.lax.bitcast_convert_type(b.astype(jnp.float16), jnp.uint16)
+    return (ah.astype(jnp.int32) << 16) | bh.astype(jnp.int32)
+
+
+def _unpack_f16(p: "jnp.ndarray"):
+    au = jnp.right_shift(p, 16).astype(jnp.uint16)
+    bu = (p & 0xFFFF).astype(jnp.uint16)
+    a = jax.lax.bitcast_convert_type(au, jnp.float16).astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(bu, jnp.float16).astype(jnp.float32)
+    return a, b
+
+
+def _pack_bf16(a: "jnp.ndarray", b: "jnp.ndarray") -> "jnp.ndarray":
+    """Two f32 rows -> one int32 row of (bf16(a) << 16) | bf16(b); bf16
+    keeps the full f32 exponent range (gradients span many decades)."""
+    ah = jax.lax.bitcast_convert_type(a.astype(jnp.bfloat16), jnp.uint16)
+    bh = jax.lax.bitcast_convert_type(b.astype(jnp.bfloat16), jnp.uint16)
+    return (ah.astype(jnp.int32) << 16) | bh.astype(jnp.int32)
+
+
+def _unpack_bf16(p: "jnp.ndarray"):
+    au = jnp.right_shift(p, 16).astype(jnp.uint16)
+    bu = (p & 0xFFFF).astype(jnp.uint16)
+    a = jax.lax.bitcast_convert_type(au, jnp.bfloat16).astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(bu, jnp.bfloat16).astype(jnp.float32)
+    return a, b
+
+
 NUM_FIELDS = 16  # packed per-instance rows (11 used, padded for tiling)
 # field row indices in the packed instance array; F_ONE is a constant-1 row
 # so the blend kernels can fuse [colors, depth, 1] x w accumulations into a
@@ -174,13 +217,28 @@ def bin_gaussians(
     # depth is NOT carried through the sort: the sort key already encodes the
     # quantized depth in its low bits, so the F_D row is reconstructed from
     # the sorted keys below (saves one payload operand; sorts cost
-    # ~1.2 ms/operand at M=2.5M, tools/profile_prims.py). Dequantization
+    # ~2.2 ms/operand at M=2.5M, tools/profile_raster2.py). Dequantization
     # error <= drange * 2^-depth_bits (~1e-7 relative at 21 bits).
-    ops = (
-        jnp.concatenate([keys, tail_key]),
-        jnp.concatenate([gs, jnp.full((pad_cap,), n, jnp.int32)]),
-    ) + tuple(jnp.concatenate([fields[i], zcol]) for i in range(F_D))
-    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    def cat(i):
+        return jnp.concatenate([fields[i], zcol])
+
+    key_op = jnp.concatenate([keys, tail_key])
+    gs_op = jnp.concatenate([gs, jnp.full((pad_cap,), n, jnp.int32)])
+    if _PACK_FIELDS[0]:
+        # opacity + RGB ride two f16-packed int32 payloads (9 -> 7 payload
+        # operands): f16 keeps ~2^-11 relative — invisible against the 8-bit
+        # render targets — while means/conics stay exact f32
+        p0 = _pack_f16(cat(F_OP), cat(F_R))
+        p1 = _pack_f16(cat(F_G), cat(F_B))
+        ops = (key_op, gs_op) + tuple(cat(i) for i in range(F_OP)) + (p0, p1)
+        sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+        op_row, r_row = _unpack_f16(sorted_ops[7])
+        g_row, b_row = _unpack_f16(sorted_ops[8])
+        field_rows = list(sorted_ops[2:7]) + [op_row, r_row, g_row, b_row]
+    else:
+        ops = (key_op, gs_op) + tuple(cat(i) for i in range(F_D))
+        sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+        field_rows = list(sorted_ops[2:])
     inst_gauss = sorted_ops[1]
     m_pad = m + pad_cap
     dq_sorted = (sorted_ops[0] & jnp.int32((1 << depth_bits) - 1)).astype(
@@ -190,7 +248,7 @@ def bin_gaussians(
     ones_row = jnp.ones((1, m_pad), jnp.float32)  # F_ONE: fused-accumulate row
     inst_data = jnp.concatenate(
         [
-            jnp.stack(sorted_ops[2:], axis=0),
+            jnp.stack(field_rows, axis=0),
             depth_row[None],
             ones_row,
             jnp.zeros((5, m_pad), jnp.float32),

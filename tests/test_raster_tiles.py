@@ -17,11 +17,42 @@ raster_tiles.set_interpret(True)
 @pytest.fixture(autouse=True)
 def _interpret_mode():
     """Other tests (the graft dryrun) may flip interpret mode process-wide;
-    pin it per test here."""
+    pin it per test here. Oracle-parity assertions run with the f16/bf16
+    sort-payload packing OFF (exact f32 path); the packed production path
+    has its own error-bound test (test_packed_paths_within_tolerance)."""
     prev = raster_tiles._INTERPRET[0]
     raster_tiles.set_interpret(True)
+    tiling.set_pack_fields(False)
+    raster_tiles.set_pack_grads(False)
     yield
     raster_tiles.set_interpret(prev)
+    tiling.set_pack_fields(True)
+    raster_tiles.set_pack_grads(True)
+
+
+def test_packed_paths_within_tolerance():
+    """Production packing (f16 opacity/RGB sort payloads, bf16-pair grad
+    payloads) against the exact path: forward within f16 quantization,
+    grads within bf16 (~0.4%) of exact."""
+    cam, parts = setup(n=300)
+    bg = jnp.zeros(3)
+
+    def loss(m, s, r, o, sh):
+        out = raster_tiles.rasterize_tiles(m, s, r, o, sh, cam, bg)
+        return out.color.sum() + 0.1 * out.depth.sum(), out.color
+
+    tiling.set_pack_fields(True)
+    raster_tiles.set_pack_grads(True)
+    (l_p, c_p), g_p = jax.value_and_grad(loss, argnums=(0, 3), has_aux=True)(*parts)
+    tiling.set_pack_fields(False)
+    raster_tiles.set_pack_grads(False)
+    (l_e, c_e), g_e = jax.value_and_grad(loss, argnums=(0, 3), has_aux=True)(*parts)
+
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_e), atol=4e-3)
+    for gp, ge in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_e)):
+        gp, ge = np.asarray(gp), np.asarray(ge)
+        denom = np.abs(ge).max() + 1e-6
+        np.testing.assert_allclose(gp / denom, ge / denom, atol=2e-2)
 
 
 def setup(n=300, seed=0, height=48, width=64):

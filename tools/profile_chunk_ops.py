@@ -73,8 +73,6 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0.1, 0.9, (NCH, CHUNK, PIX)).astype(np.float32))
 
-    tril_c = jnp.tril(jnp.ones((CHUNK, CHUNK), jnp.float32))
-
     # --- baselines -----------------------------------------------------------
     run_stream("noop (DMA+acc only)", lambda v: v[0], x)
     run_stream("10 mul", lambda v: functools.reduce(lambda a, _: a * 1.0001, range(10), v[0]), x)
@@ -88,7 +86,8 @@ def main():
             run_stream(
                 f"tril matmul {tag}",
                 lambda v, p=prec: jax.lax.dot(
-                    tril_c, v[0], preferred_element_type=jnp.float32, precision=p
+                    jnp.tril(jnp.ones((CHUNK, CHUNK), jnp.float32)), v[0],
+                    preferred_element_type=jnp.float32, precision=p
                 ),
                 x,
             )
@@ -96,29 +95,31 @@ def main():
             print(f"tril matmul {tag}: FAILED {type(e).__name__}: {e}")
 
     # --- (CHUNK,PIX)x(PIX,6) moments matmul ---------------------------------
-    ppix = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    cx = (ppix % 16).astype(jnp.float32)
-    cy = (ppix // 16).astype(jnp.float32)
-    basis_c = jnp.concatenate(
-        [jnp.ones((PIX, 1), jnp.float32), cx, cy, cx * cx, cx * cy, cy * cy], 1
-    )
+    def make_basis():
+        ppix = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+        cx = (ppix % 16).astype(jnp.float32)
+        cy = (ppix // 16).astype(jnp.float32)
+        return jnp.concatenate(
+            [jnp.ones((PIX, 1), jnp.float32), cx, cy, cx * cx, cx * cy, cy * cy], 1
+        )
     for prec, tag in ((P_DEFAULT, "default"), (P_HIGH, "high"), (P_HIGHEST, "highest")):
         run_stream(
             f"moments matmul {tag}",
             lambda v, p=prec: jnp.broadcast_to(
-                jax.lax.dot(v[0], basis_c, preferred_element_type=jnp.float32,
+                jax.lax.dot(v[0], make_basis(), preferred_element_type=jnp.float32,
                             precision=p)[:, 0:1], (CHUNK, PIX)),
             x,
         )
 
     # --- acc matmul (5,CHUNK)x(CHUNK,PIX) -----------------------------------
-    five = jnp.asarray(rng.normal(size=(5, CHUNK)).astype(np.float32))
     for prec, tag in ((P_HIGH, "high"), (P_HIGHEST, "highest")):
         run_stream(
             f"acc matmul {tag}",
             lambda v, p=prec: jnp.broadcast_to(
-                jax.lax.dot(five, v[0], preferred_element_type=jnp.float32,
-                            precision=p)[0:1], (CHUNK, PIX)),
+                jax.lax.dot(
+                    jax.lax.broadcasted_iota(jnp.float32, (5, CHUNK), 1) * 0.01,
+                    v[0], preferred_element_type=jnp.float32,
+                    precision=p)[0:1], (CHUNK, PIX)),
             x,
         )
 
@@ -140,7 +141,8 @@ def main():
     def cumprod_logmm(v):
         om = 1.0 - 0.003 * v[0]
         lom = jnp.log1p(-0.003 * v[0])
-        cum = jax.lax.dot(tril_c, lom, preferred_element_type=jnp.float32,
+        cum = jax.lax.dot(jnp.tril(jnp.ones((CHUNK, CHUNK), jnp.float32)), lom,
+                          preferred_element_type=jnp.float32,
                           precision=P_HIGHEST)
         return jnp.exp(cum - lom)
 
