@@ -386,16 +386,22 @@ def _bwd_kernel(
         # u_i per instance-pixel: c_i . dC + d_i * dD + dA — rows F_R..F_ONE
         # are [R, G, B, D, 1] and cotangent rows 0..4 are [dC(3), dD, dA],
         # so u is ONE (CHUNK, 5) x (5, TILE_PIX) matmul (ones-row fusion)
+        # u/prefix/d_colD run at DEFAULT precision when grads are packed:
+        # their bf16 operand rounding (~0.4%) enters the gradient additively
+        # and is below the packed-grad noise floor; the moments matmul stays
+        # exact because the mean-rebinding algebra cancels lx-scaled terms.
+        gprec = (jax.lax.Precision.DEFAULT if _PACK_GRADS[0]
+                 else _MM_PRECISION[0])
         u = jax.lax.dot(
             data[:, F_R : F_ONE + 1], cot_ref[0, 0:5, :],
             preferred_element_type=jnp.float32,
-            precision=_MM_PRECISION[0],
+            precision=gprec,
         )
         wu = w * u
         tril = jnp.tril(jnp.ones((CHUNK, CHUNK), jnp.float32))
         prefix_i = prefix + jax.lax.dot(
             tril, wu, preferred_element_type=jnp.float32,
-            precision=_MM_PRECISION[0],
+            precision=gprec,
         )
         S = U - prefix_i  # suffix sum AFTER instance i (incl. bg term)
 
@@ -455,7 +461,7 @@ def _bwd_kernel(
         d_colD = jax.lax.dot_general(
             w, cot_ref[0, 0:4, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_MM_PRECISION[0],
+            precision=gprec,
         )  # (CHUNK, 4)
 
         zeros = jnp.zeros((CHUNK, NUM_FIELDS - 10), jnp.float32)
