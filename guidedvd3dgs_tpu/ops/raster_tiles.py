@@ -83,6 +83,33 @@ def set_interpret(flag: bool):
     segsum.set_interpret(flag)
 
 
+def _split3(x):
+    """Lossless 3-term bf16 decomposition of f32: x == h + m + l exactly
+    (8 mantissa bits per term, 24 total). Each term passes through the
+    MXU's bf16 operand rounding unchanged."""
+    h = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - h
+    m = r.astype(jnp.bfloat16).astype(jnp.float32)
+    l = r - m  # <= 8 significant bits left: already bf16-representable
+    return h, m, l
+
+
+def _dot_rhs_split(lhs_exact, rhs):
+    """lhs @ rhs at HIGHEST-equivalent accuracy in 3 DEFAULT passes (vs 6):
+    valid when LHS is bf16-exact (0/1 tril masks, small-integer bases), so
+    only the real-valued RHS needs splitting."""
+    h, m, l = _split3(rhs)
+    d = lambda r: jax.lax.dot(lhs_exact, r, preferred_element_type=jnp.float32)
+    return d(h) + d(m) + d(l)
+
+
+def _dot_lhs_split(lhs, rhs_exact):
+    """Mirror of _dot_rhs_split for a bf16-exact RHS."""
+    h, m, l = _split3(lhs)
+    d = lambda a: jax.lax.dot(a, rhs_exact, preferred_element_type=jnp.float32)
+    return d(h) + d(m) + d(l)
+
+
 def _pixel_coords(t, gx):
     tx = t % gx
     ty = t // gx
@@ -124,14 +151,12 @@ def _chunk_blend_quantities(data, valid, pixx, pixy, T_in, done_in):
 
     lom = jnp.log1p(-alpha)
     tril = jnp.tril(jnp.ones((CHUNK, CHUNK), jnp.float32))
-    # HIGHEST wherever an operand is real-valued f32: the TPU default
-    # matmul precision rounds f32 operands to bf16 (log-transmittance
-    # errors ~0.4%); 0/1-valued operands (tril, trigger) are exact either
-    # way, so the trigger prefix below stays at default precision.
-    cum_incl = jax.lax.dot(
-        tril, lom, preferred_element_type=jnp.float32,
-        precision=_MM_PRECISION[0],
-    )
+    # The TPU default matmul precision rounds f32 operands to bf16
+    # (log-transmittance errors ~0.4%), but the 0/1 tril side is bf16-exact,
+    # so splitting ONLY the lom side gives exact-f32 accuracy in 3 MXU
+    # passes (HIGHEST spends 6 splitting both). The trigger prefix below is
+    # 0/1 on both sides and stays at default precision (1 pass).
+    cum_incl = _dot_rhs_split(tril, lom)
     T_before = T_in * jnp.exp(cum_incl - lom)
 
     trigger = live & (T_before * (1.0 - alpha) < T_EPS)
@@ -399,10 +424,14 @@ def _bwd_kernel(
         )
         wu = w * u
         tril = jnp.tril(jnp.ones((CHUNK, CHUNK), jnp.float32))
-        prefix_i = prefix + jax.lax.dot(
-            tril, wu, preferred_element_type=jnp.float32,
-            precision=gprec,
-        )
+        if _PACK_GRADS[0]:
+            prefix_mm = jax.lax.dot(
+                tril, wu, preferred_element_type=jnp.float32,
+                precision=gprec,
+            )
+        else:
+            prefix_mm = _dot_rhs_split(tril, wu)  # exact mode, 3 passes
+        prefix_i = prefix + prefix_mm
         S = U - prefix_i  # suffix sum AFTER instance i (incl. bg term)
 
         dalpha = jnp.where(
@@ -429,10 +458,9 @@ def _bwd_kernel(
             [jnp.ones((TILE_PIX, 1), jnp.float32), cx, cy, cx * cx, cx * cy,
              cy * cy], axis=1
         )  # (TILE_PIX, 6)
-        mom = jax.lax.dot(
-            g_pow, basis, preferred_element_type=jnp.float32,
-            precision=_MM_PRECISION[0],
-        )  # (CHUNK, 6): S0, Sx, Sy, Sxx, Sxy, Syy
+        # basis entries are integers <= 225: bf16-exact, so only g_pow needs
+        # splitting — exact-f32 moments in 3 MXU passes instead of 6
+        mom = _dot_lhs_split(g_pow, basis)  # (CHUNK, 6): S0,Sx,Sy,Sxx,Sxy,Syy
         S0 = mom[:, 0:1]
         Sx = mom[:, 1:2]
         Sy = mom[:, 2:3]

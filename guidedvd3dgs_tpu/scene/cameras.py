@@ -94,6 +94,9 @@ class PseudoCamera:
     pseudo_gt: Optional[np.ndarray] = None  # (3, H, W)
     mask: Optional[np.ndarray] = None  # (1, H, W)
     depth: Optional[np.ndarray] = None  # (H, W)
+    # slot of this camera's pseudo_gt in the trainer's device-resident
+    # pseudo-frame pool (chunked guided trainer); -1 = not pooled
+    pool_slot: int = -1
     trans: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
     scale: float = 1.0
 

@@ -303,14 +303,21 @@ class BaselineTrainer:
         self._demand_peak = max(self._demand_peak, demand + ovf)
         cur = self.max_instances or 4 * self.state.capacity
         if ovf > 0:
-            self.max_instances = _round_chunk(int(self._demand_peak * 1.5))
+            self.max_instances = _round_chunk(int(self._demand_peak * 1.5), 4096)
             print(
                 f"[iter {iteration}] tile-instance overflow ({ovf} dropped): "
                 f"instance buffer regrown to {self.max_instances}"
             )
         elif iteration % 500 == 0 and self._demand_peak > 0:
-            target = _round_chunk(int(self._demand_peak * 1.5))
-            if target < cur * 0.6 or target > cur:
+            # Resize ONLY when the peak eats into the 1.5x headroom (>90% of
+            # capacity, overflow imminent) or demand collapsed (<60%·cap/1.5
+            # ≈ shrink-worthy): every max_instances change recompiles every
+            # scan-chunk variant of the jitted step (~4 min each through the
+            # remote-TPU tunnel), so steady densify growth must NOT creep the
+            # capacity each window. Coarse 4096 rounding keeps the shape set
+            # small for the persistent compile cache.
+            target = _round_chunk(int(self._demand_peak * 1.5), 4096)
+            if target < cur * 0.6 or self._demand_peak > 0.9 * cur:
                 self.max_instances = target
             self._demand_peak = demand
 

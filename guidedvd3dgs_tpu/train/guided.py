@@ -392,6 +392,152 @@ def make_guided_train_step(
     return train_step_guided
 
 
+def make_guided_steps_chunk(
+    vgg_loss_fn: Optional[Callable] = None,
+    pseudo_cam_lpips_weight: float = 0.1,
+):
+    """Chunked guided step: K iterations of the guided step body in ONE
+    device dispatch (lax.scan), the guided analog of
+    baseline.train_steps_chunk. Pseudo ground-truth frames live in a
+    device-resident pool (`pool_gts`/`pool_rcs`); the host only passes
+    per-step slot indices, so chunks move O(K) scalars instead of O(K)
+    images over the (high-latency) host link. Per-step semantics are
+    identical to make_guided_train_step: steps without a pseudo camera get
+    weight 0 + a masked stats filter, which contributes exactly zero."""
+
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "sh_degree", "lambda_dssim", "use_confidence", "backend",
+            "pseudo_ssim", "max_instances", "with_pseudo",
+        ),
+        donate_argnames=("state",),
+    )
+    def chunk(
+        state: G.GaussianState,
+        rcs: RasterCamera,  # stacked train cameras, leaves (V, ...)
+        gts: jnp.ndarray,  # (V, 3, H, W)
+        pool_rcs,  # stacked pool cameras, leaves (P, ...) (None w/o pseudo)
+        pool_gts,  # (P, 3, H, W) device pseudo-frame pool (None w/o pseudo)
+        cam_idx: jnp.ndarray,  # (K,) int32
+        pseudo_idx: jnp.ndarray,  # (K,) int32 pool slot (0 when unused)
+        pseudo_w: jnp.ndarray,  # (K,) f32 pseudo weight (0 = no pseudo)
+        has_pseudo: jnp.ndarray,  # (K,) bool (stats gating)
+        xyz_lrs: jnp.ndarray,  # (K,) f32
+        apply_adam: jnp.ndarray,  # (K,) bool
+        update_stats: jnp.ndarray,  # (K,) bool
+        bg: jnp.ndarray,
+        lrs: G.LearningRates,
+        sh_degree: int,
+        lambda_dssim: float,
+        use_confidence: bool = False,
+        backend: str = "auto",
+        pseudo_ssim: bool = False,
+        max_instances: int = 0,
+        with_pseudo: bool = True,
+    ):
+        def body(state, per):
+            idx, pidx, pw, hp, lr_xyz, do_adam, do_stats = per
+            cam = jax.tree.map(lambda a: a[idx], rcs)
+            gt = gts[idx]
+            offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
+            if with_pseudo:
+                pcam = jax.tree.map(lambda a: a[pidx], pool_rcs)
+                pgt = pool_gts[pidx]
+
+            def loss_fn(params, offset, offset_p):
+                r = render_gaussians(
+                    params, state.active, state.confidence, cam, bg, sh_degree,
+                    means2d_offset=offset, use_confidence=use_confidence,
+                    backend=backend, max_instances=max_instances,
+                )
+                ll1 = l1_loss(r.color, gt)
+                loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (
+                    1.0 - ssim(r.color, gt)
+                )
+                if with_pseudo:
+                    rp = render_gaussians(
+                        params, state.active, state.confidence, pcam, bg,
+                        sh_degree, means2d_offset=offset_p,
+                        use_confidence=use_confidence, backend=backend,
+                        max_instances=max_instances,
+                    )
+                    pl1 = l1_loss(rp.color, pgt)
+                    if pseudo_ssim:
+                        ploss = (1.0 - lambda_dssim) * pl1 + lambda_dssim * (
+                            1.0 - ssim(rp.color, pgt)
+                        )
+                    else:
+                        ploss = pl1
+                    if vgg_loss_fn is not None:
+                        ploss = ploss + pseudo_cam_lpips_weight * vgg_loss_fn(
+                            jnp.clip(rp.color, 0, 1)[None],
+                            jnp.clip(pgt, 0, 1)[None],
+                        )
+                    loss = loss + pw * ploss
+                    aux = (r, rp, ll1, pl1)
+                else:
+                    aux = (r, None, ll1, jnp.float32(0.0))
+                return loss, aux
+
+            (loss, (r, rp, ll1, pl1)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True
+            )(state.params, offset0, offset0)
+            gparams, goffset, goffset_p = grads
+
+            def with_stats(s):
+                s = G.update_max_radii(s, r.radii, r.visibility_filter)
+                if with_pseudo:
+                    visp = rp.visibility_filter & hp
+                    s = G.update_max_radii(s, rp.radii, visp)
+                    s = G.add_densification_stats_with_novel_pose(
+                        s, goffset, r.visibility_filter, goffset_p, visp
+                    )
+                else:
+                    s = G.add_densification_stats(s, goffset, r.visibility_filter)
+                return s
+
+            state = jax.lax.cond(do_stats, with_stats, lambda s: s, state)
+            state = jax.lax.cond(
+                do_adam,
+                lambda s: G.adam_step(s, gparams, lrs._replace(xyz=lr_xyz)),
+                lambda s: s,
+                state,
+            )
+            ovf = r.overflow if r.overflow is not None else jnp.int32(0)
+            dem = r.num_instances if r.num_instances is not None else jnp.int32(0)
+            if with_pseudo and rp.overflow is not None:
+                ovf = ovf + rp.overflow
+                dem = jnp.maximum(dem, rp.num_instances)
+            metrics = (loss, ll1, pl1, psnr(r.color, gt)[0, 0], ovf, dem)
+            return state, metrics
+
+        state, (losses, l1s, pl1s, psnrs, ovfs, dems) = jax.lax.scan(
+            body, state,
+            (cam_idx, pseudo_idx, pseudo_w, has_pseudo, xyz_lrs, apply_adam,
+             update_stats),
+        )
+        metrics = {
+            "loss": losses[-1], "l1": l1s[-1], "pseudo_l1": pl1s[-1],
+            "psnr": psnrs[-1], "loss_mean": losses.mean(),
+            "overflow": ovfs.max(), "num_instances": dems.max(),
+        }
+        return state, metrics
+
+    return chunk
+
+
+@partial(jax.jit, donate_argnames=("pool",))
+def _pool_write(pool, frames, cur_slots, promo_slots):
+    """Write a new event's frames into the device pseudo pool: frames[1:]
+    into the fixed current-stack slots, and (via the same source rows) into
+    the promoted all-time slots; non-promoted rows carry an out-of-range
+    slot and are dropped. Fixed shapes -> one compile for every event."""
+    pool = pool.at[cur_slots].set(frames)
+    pool = pool.at[promo_slots].set(frames, mode="drop")
+    return pool
+
+
 # ----------------------------------------------------------------------------
 # trainer
 # ----------------------------------------------------------------------------
@@ -651,10 +797,61 @@ class GuidedTrainer(BaselineTrainer):
             )
         return (iteration, view, traj, video, gs_alpha, gs_depth, event_dir)
 
+    # -- device-resident pseudo pool (chunked trainer) ------------------------
+
+    def _init_pseudo_pool(self, alltime_cap: int = 256):
+        """Fixed-capacity device buffer of pseudo-GT frames: slots
+        [0, T-1) hold the current stack (overwritten every event), slots
+        [T-1, T-1+alltime_cap) the all-time stack (reservoir-evicted past
+        capacity). The scan chunk indexes into this pool per step, so the
+        host never re-uploads frames after the event that produced them."""
+        T = self.engine.video_length
+        P = (T - 1) + alltime_cap
+        self._pool_capacity = P
+        self._alltime_base = T - 1
+        self._alltime_free = list(range(T - 1, P))
+        self._cur_slots = jnp.arange(T - 1, dtype=jnp.int32)
+        self._pool_gts = jnp.zeros((P, 3, self.H, self.W), jnp.float32)
+        self._slot_cam = {}
+        self._evict_rng = np.random.default_rng(
+            getattr(self.opt, "seed", 1) + 7919
+        )
+        self._pool_rcs = None
+
+    def _alloc_alltime_slot(self) -> int:
+        if self._alltime_free:
+            return self._alltime_free.pop()
+        # reservoir eviction: replace a random existing all-time entry (the
+        # reference's list grows unboundedly; at the defaults ~180 of 256
+        # slots are ever used, so eviction is a capacity backstop only)
+        slot = int(
+            self._evict_rng.integers(self._alltime_base, self._pool_capacity)
+        )
+        victim = self._slot_cam.get(slot)
+        if victim is not None:
+            self.pseudo_stack_alltime = [
+                c for c in self.pseudo_stack_alltime if c is not victim
+            ]
+        return slot
+
+    def _stack_pool_cams(self):
+        """Stacked RasterCamera pytree over every pool slot; empty slots get
+        the first train camera (valid geometry, selected only with weight 0)."""
+        from guidedvd3dgs_tpu.parallel.data_parallel import stack_cameras
+
+        fallback = self.train_cams[0].raster_camera()
+        rcs = [
+            self._slot_cam[s].raster_camera()
+            if s in self._slot_cam else fallback
+            for s in range(self._pool_capacity)
+        ]
+        return stack_cameras(rcs)
+
     def finalize_diffusion_event(self, pending):
         """Materialize a submitted event's video and rebuild the pseudo
         stacks (reference train_guidedvd.py:557-636)."""
         iteration, view, traj, video, gs_alpha, gs_depth, event_dir = pending
+        video_dev = video
         video = np.asarray(video)
 
         if event_dir:
@@ -685,6 +882,11 @@ class GuidedTrainer(BaselineTrainer):
 
         fovx = self.train_cams[view].FoVx
         fovy = self.train_cams[view].FoVy
+        pooled = getattr(self, "_pool_gts", None) is not None
+        if pooled:
+            promo_slots = np.full(traj.shape[0] - 1, self._pool_capacity, np.int32)
+            for s in range(self._alltime_base):
+                self._slot_cam.pop(s, None)
         self.pseudo_stack = []
         for i in range(traj.shape[0]):
             if i == 0:
@@ -694,10 +896,30 @@ class GuidedTrainer(BaselineTrainer):
                 R=w2c[:3, :3].T, T=w2c[:3, 3], FoVx=fovx, FoVy=fovy,
                 width=self.W, height=self.H,
                 pseudo_gt=video[i], mask=np.asarray(gs_alpha[i]),
+                pool_slot=(i - 1) if pooled else -1,
             )
             self.pseudo_stack.append(cam)
+            if pooled:
+                self._slot_cam[i - 1] = cam
             if self.rng_np.random() > 0.8:  # 20% promoted (reference :633)
-                self.pseudo_stack_alltime.append(cam)
+                if pooled:
+                    # the current-stack slot is overwritten next event, so a
+                    # promoted frame gets its own all-time slot (same
+                    # contents; a distinct camera object owning that slot)
+                    slot = self._alloc_alltime_slot()
+                    promo_slots[i - 1] = slot
+                    alt = copy.copy(cam)
+                    alt.pool_slot = slot
+                    self._slot_cam[slot] = alt
+                    self.pseudo_stack_alltime.append(alt)
+                else:
+                    self.pseudo_stack_alltime.append(cam)
+        if pooled:
+            self._pool_gts = _pool_write(
+                self._pool_gts, video_dev[1:], self._cur_slots,
+                jnp.asarray(promo_slots),
+            )
+            self._pool_rcs = self._stack_pool_cams()
         self.events_run += 1
 
     # -- per-iteration step ----------------------------------------------------
@@ -806,3 +1028,162 @@ class GuidedTrainer(BaselineTrainer):
             self.finalize_diffusion_event(self._pending_event)
             self._pending_event = None
         return out
+
+    def train_scan(
+        self,
+        iterations=None,
+        log_every=100,
+        test_iterations=(),
+        saving_iterations=(),
+        checkpoint_iterations=(),
+        checkpoint_dir=None,
+        start_iteration=0,
+        alltime_cap=256,
+        nan_debug=False,  # baseline-only; accepted for CLI symmetry
+    ):
+        """Chunked guided trainer: identical per-step semantics to `step`,
+        but every span between schedule events (densify, opacity reset,
+        diffusion events, eval/save) runs as ONE device dispatch via
+        make_guided_steps_chunk. Pseudo-GT frames are uploaded once per
+        diffusion event into the device pool; per-chunk traffic is O(K)
+        scalars. Built for remotely-attached TPUs where per-step dispatch
+        costs ~0.25 s against ~15 ms of compute."""
+        import time
+
+        opt = self.opt
+        iterations = iterations or opt.iterations
+        rcs, gts, n_cams = self._stacked_train_cams()
+        if getattr(self, "_pool_gts", None) is None:
+            self._init_pseudo_pool(alltime_cap)
+        chunk_fn = make_guided_steps_chunk(
+            self.vgg_loss_fn, getattr(opt, "pseudo_cam_lpips_weight", 0.1)
+        )
+        t0 = time.time()
+
+        # diffusion events fire after step it when (it-1) % vd == 0
+        # (reference train_guidedvd.py:431), gated by end_sample_pseudo
+        event_its = {
+            it for it in range(1, iterations + 1)
+            if (it - 1) % opt.guidance_vd_iter == 0
+            and it < opt.end_sample_pseudo
+        }
+        stops = set()
+        stops.update(range(0, iterations + 1, opt.densification_interval))
+        stops.update(range(0, iterations + 1, opt.opacity_reset_interval))
+        stops.update(event_its)
+        stops.update(int(x) for x in test_iterations)
+        stops.update(int(x) for x in saving_iterations)
+        stops.update(int(x) for x in checkpoint_iterations)
+        stops.add(iterations)
+        bounds = sorted(x for x in stops if start_iteration < x <= iterations)
+
+        it0 = start_iteration
+        for it1 in bounds:
+            its = np.arange(it0 + 1, it1 + 1)
+            k = len(its)
+            cam_idx = np.asarray(
+                [self._next_cam_idx() for _ in range(k)], np.int32
+            )
+            pseudo_idx = np.zeros(k, np.int32)
+            pseudo_w = np.zeros(k, np.float32)
+            has_p = np.zeros(k, bool)
+            for j, it in enumerate(its):
+                pcam = self._pick_pseudo(int(it))
+                if pcam is not None and pcam.pool_slot >= 0:
+                    pseudo_idx[j] = pcam.pool_slot
+                    pseudo_w[j] = self._pseudo_weight(int(it))
+                    has_p[j] = True
+            xyz_lrs = np.asarray([self.xyz_sched(i - 1) for i in its], np.float32)
+            do_densify = (
+                (its < opt.densify_until_iter)
+                & (its > opt.densify_from_iter)
+                & (its % opt.densification_interval == 0)
+            )
+            apply_adam = (its < iterations) & ~do_densify
+            update_stats = its < opt.densify_until_iter
+            with_pseudo = bool(has_p.any())
+
+            self.state, metrics = chunk_fn(
+                self.state, rcs, gts,
+                self._pool_rcs if with_pseudo else None,
+                self._pool_gts if with_pseudo else None,
+                jnp.asarray(cam_idx), jnp.asarray(pseudo_idx),
+                jnp.asarray(pseudo_w), jnp.asarray(has_p),
+                jnp.asarray(xyz_lrs), jnp.asarray(apply_adam),
+                jnp.asarray(update_stats),
+                self.bg, lrs_for(opt, 0.0),
+                sh_degree=self.active_sh_degree,
+                lambda_dssim=opt.lambda_dssim,
+                use_confidence=getattr(self.pipe, "use_confidence", False),
+                backend=self.backend,
+                pseudo_ssim=getattr(opt, "pseudo_cam_ssim", False),
+                max_instances=self.max_instances,
+                with_pseudo=with_pseudo,
+            )
+            self.check_overflow(metrics, it1)
+            self.xyz_lr = self.xyz_sched(it1)
+
+            if (
+                it1 < opt.densify_until_iter
+                and it1 > opt.densify_from_iter
+                and it1 % opt.densification_interval == 0
+            ):
+                cfg = densify_cfg(opt, self.scene.cameras_extent, it1)
+                self.state = densify_and_prune_jit(
+                    self.state, jax.random.key(it1), cfg
+                )
+                self.maybe_grow()
+            if it1 % opt.opacity_reset_interval == 0:
+                self.state = reset_opacity_jit(self.state)
+
+            if it1 in event_its:
+                if self.pipeline_guidance:
+                    if self._pending_event is not None:
+                        self.finalize_diffusion_event(self._pending_event)
+                        self._pending_event = None
+                    self._pending_event = self.submit_diffusion_event(it1)
+                else:
+                    self.run_diffusion_event(it1)
+
+            self.ema_loss = float(metrics["loss_mean"])
+            if log_every and it1 % log_every == 0:
+                rate = (it1 - start_iteration) / (time.time() - t0)
+                print(
+                    f"[{it1}/{iterations}] loss={float(metrics['loss']):.5f} "
+                    f"psnr={float(metrics['psnr']):.2f} "
+                    f"n={int(self.state.num_active())} {rate:.1f} it/s",
+                    flush=True,
+                )
+                if self.logger is not None:
+                    self.logger.scalars(
+                        it1,
+                        {
+                            "loss": float(metrics["loss"]),
+                            "l1": float(metrics["l1"]),
+                            "pseudo_l1": float(metrics["pseudo_l1"]),
+                            "psnr": float(metrics["psnr"]),
+                            "total_points": int(self.state.num_active()),
+                            "it_per_s": rate,
+                        },
+                        prefix="train/",
+                    )
+            if it1 in test_iterations:
+                m = self.evaluate(self.scene.getTestCameras())
+                if m:
+                    print(f"[ITER {it1}] test psnr {m['psnr']:.3f} l1 {m['l1']:.4f}")
+                    if self.logger is not None:
+                        self.logger.scalars(it1, m, prefix="test/")
+            if it1 in saving_iterations:
+                self.scene.save(it1, self.state)
+            if it1 in checkpoint_iterations and checkpoint_dir:
+                from guidedvd3dgs_tpu.train.checkpoint import save_checkpoint
+
+                path = f"{checkpoint_dir}/chkpnt{it1}.ckpt"
+                save_checkpoint(path, self.state, it1)
+                print(f"[ITER {it1}] saved checkpoint {path}")
+            it0 = it1
+
+        if self._pending_event is not None:
+            self.finalize_diffusion_event(self._pending_event)
+            self._pending_event = None
+        return self.state

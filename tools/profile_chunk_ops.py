@@ -94,6 +94,13 @@ def main():
         except Exception as e:
             print(f"tril matmul {tag}: FAILED {type(e).__name__}: {e}")
 
+    # --- rhs-split3: 3 DEFAULT passes, exact when lhs is bf16-exact ---------
+    def tril_split3(v):
+        from guidedvd3dgs_tpu.ops.raster_tiles import _dot_rhs_split
+        return _dot_rhs_split(jnp.tril(jnp.ones((CHUNK, CHUNK), jnp.float32)), v[0])
+
+    run_stream("tril matmul rhs-split3", tril_split3, x)
+
     # --- (CHUNK,PIX)x(PIX,6) moments matmul ---------------------------------
     def make_basis():
         ppix = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
@@ -110,6 +117,13 @@ def main():
                             precision=p)[:, 0:1], (CHUNK, PIX)),
             x,
         )
+
+    def moments_split3(v):
+        from guidedvd3dgs_tpu.ops.raster_tiles import _dot_lhs_split
+        return jnp.broadcast_to(
+            _dot_lhs_split(v[0], make_basis())[:, 0:1], (CHUNK, PIX))
+
+    run_stream("moments matmul lhs-split3", moments_split3, x)
 
     # --- acc matmul (5,CHUNK)x(CHUNK,PIX) -----------------------------------
     for prec, tag in ((P_HIGH, "high"), (P_HIGHEST, "highest")):

@@ -101,6 +101,10 @@ def main():
     # checkpoint, .safetensors or .bin — e.g. Intel/dpt-large)
     parser.add_argument("--dpt_weights", type=str, default=None)
     parser.add_argument("--profile_dir", type=str, default=None)
+    parser.add_argument("--no_scan", action="store_true",
+                        help="per-step host loop instead of the chunked scan")
+    parser.add_argument("--pseudo_pool_cap", type=int, default=256,
+                        help="device pseudo-frame pool all-time capacity (scan mode)")
     parser.add_argument("--pipeline_guidance", action="store_true",
                         help="overlap diffusion generation with training "
                              "(one-event pseudo-stack lag; engine on the "
@@ -203,14 +207,20 @@ def main():
     trainer.attach_logger(MetricsLogger(dataset.model_path))
     print("Building trajectory pool ...")
     trainer.init_trajectory_pool()
-    trainer.train(
+    kwargs = dict(
         iterations=opt.iterations,
         test_iterations=set(args.test_iterations),
         saving_iterations=set(args.save_iterations),
         checkpoint_iterations=set(args.checkpoint_iterations),
         checkpoint_dir=dataset.model_path,
-        profile_dir=args.profile_dir,
     )
+    if args.no_scan or args.profile_dir:
+        trainer.train(profile_dir=args.profile_dir, **kwargs)
+    else:
+        # chunked trainer: one device dispatch per span between schedule
+        # events (per-step host dispatch costs ~0.25 s through a
+        # remotely-attached TPU)
+        trainer.train_scan(alltime_cap=args.pseudo_pool_cap, **kwargs)
     print("\nGuided training complete.")
 
 
