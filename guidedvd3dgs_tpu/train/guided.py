@@ -512,17 +512,18 @@ def make_guided_steps_chunk(
             metrics = (loss, ll1, pl1, psnr(r.color, gt)[0, 0], ovf, dem)
             return state, metrics
 
-        state, (losses, l1s, pl1s, psnrs, ovfs, dems) = jax.lax.scan(
+        state, per_step = jax.lax.scan(
             body, state,
             (cam_idx, pseudo_idx, pseudo_w, has_pseudo, xyz_lrs, apply_adam,
              update_stats),
         )
-        metrics = {
-            "loss": losses[-1], "l1": l1s[-1], "pseudo_l1": pl1s[-1],
-            "psnr": psnrs[-1], "loss_mean": losses.mean(),
-            "overflow": ovfs.max(), "num_instances": dems.max(),
+        # per-step (K,) metric arrays — the host slices off padded no-op
+        # steps (chunk-length bucketing) before reducing
+        losses, l1s, pl1s, psnrs, ovfs, dems = per_step
+        return state, {
+            "loss": losses, "l1": l1s, "pseudo_l1": pl1s, "psnr": psnrs,
+            "overflow": ovfs, "num_instances": dems,
         }
-        return state, metrics
 
     return chunk
 
@@ -1103,6 +1104,27 @@ class GuidedTrainer(BaselineTrainer):
             update_stats = its < opt.densify_until_iter
             with_pseudo = bool(has_p.any())
 
+            # pad every chunk to a bucketed length with no-op steps
+            # (adam/stats/pseudo all masked off): diffusion-event boundaries
+            # sit at 260k+1 while densify sits at 100k, so raw span lengths
+            # take ~11 distinct values — each a separate XLA compile of the
+            # scan. Buckets cut that to 4 per variant; a padded step renders
+            # cam 0 and discards the result (~ms) vs minutes per compile
+            # through the remote-TPU tunnel.
+            B = next((b for b in (1, 25, 50, 100) if b >= k),
+                     -(-k // 100) * 100)
+            pad = B - k
+            if pad:
+                z = lambda a, v: np.concatenate(
+                    [a, np.full(pad, v, a.dtype)])
+                cam_idx = z(cam_idx, 0)
+                pseudo_idx = z(pseudo_idx, 0)
+                pseudo_w = z(pseudo_w, 0.0)
+                has_p = z(has_p, False)
+                xyz_lrs = z(xyz_lrs, 0.0)
+                apply_adam = z(np.asarray(apply_adam), False)
+                update_stats = z(np.asarray(update_stats), False)
+
             self.state, metrics = chunk_fn(
                 self.state, rcs, gts,
                 self._pool_rcs if with_pseudo else None,
@@ -1120,6 +1142,14 @@ class GuidedTrainer(BaselineTrainer):
                 max_instances=self.max_instances,
                 with_pseudo=with_pseudo,
             )
+            m = {key: np.asarray(v)[:k] for key, v in metrics.items()}
+            metrics = {
+                "loss": m["loss"][-1], "l1": m["l1"][-1],
+                "pseudo_l1": m["pseudo_l1"][-1], "psnr": m["psnr"][-1],
+                "loss_mean": m["loss"].mean(),
+                "overflow": m["overflow"].max(),
+                "num_instances": m["num_instances"].max(),
+            }
             self.check_overflow(metrics, it1)
             self.xyz_lr = self.xyz_sched(it1)
 
