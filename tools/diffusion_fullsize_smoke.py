@@ -73,6 +73,7 @@ def main():
     from guidedvd3dgs_tpu.guidance.loss_guidance import make_guidance_fn, resize_guidance
 
     T, H, W = args.frames, args.height, args.width
+    timings = {}  # per-stage seconds, persisted in DIFFUSION_SMOKE.json
     mcfg = LatentDiffusionConfig(compute_dtype="bfloat16")
     mcfg = dataclasses.replace(
         mcfg,
@@ -98,6 +99,7 @@ def main():
     t0 = time.time()
     cond, uncond, _ = build_conditioning(params, mcfg, scfg, video, rng)
     force(cond.context)
+    timings["conditioning_s"] = round(time.time() - t0, 1)
     print(f"A1 conditioning built in {time.time()-t0:.0f}s {mem_stats()}", flush=True)
 
     x = jax.random.normal(jax.random.key(3), (1, T, H // 8, W // 8, 4))
@@ -110,6 +112,8 @@ def main():
     t0 = time.time()
     v = fwd(x, jnp.asarray([500]))
     force(v)
+    timings["unet_fwd_compile_s"] = round(compile_s, 1)
+    timings["unet_fwd_run_s"] = round(time.time() - t0, 3)
     print(
         f"A2 UNet fwd: compile {compile_s:.0f}s, run {1000*(time.time()-t0):.0f}ms, "
         f"finite={bool(jnp.isfinite(v.astype(jnp.float32)).all())} {mem_stats()}",
@@ -144,6 +148,8 @@ def main():
     t0 = time.time()
     out = step_fn(x, jnp.int32(scfg.ddim_steps - 1), jax.random.key(5))
     force(out)
+    timings["guided_step_compile_s"] = round(compile_s, 1)
+    timings["guided_step_run_s"] = round(time.time() - t0, 2)
     xp = out[0]
     print(
         f"B guided step: compile {compile_s:.0f}s, run {time.time()-t0:.1f}s, "
@@ -158,6 +164,7 @@ def main():
             guidance_fn=guidance_fn, guided_cfg=GuidedSampleConfig(),
         )
         force(frames)
+        timings["full_sample_s"] = round(time.time() - t0, 1)
         print(
             f"C full {scfg.ddim_steps}-step guided sample: {time.time()-t0:.0f}s, "
             f"finite={bool(jnp.isfinite(frames.astype(jnp.float32)).all())} {mem_stats()}",
@@ -167,7 +174,8 @@ def main():
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "DIFFUSION_SMOKE.json"), "w") as f:
         json.dump({"params_m": round(tot / 1e6), "mem": mem_stats(),
-                   "shape": [T, H, W]}, f, indent=1)
+                   "shape": [T, H, W], "steps": args.steps,
+                   "timings": timings}, f, indent=1)
     print("OK")
 
 
