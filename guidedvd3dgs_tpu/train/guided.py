@@ -745,8 +745,16 @@ class GuidedTrainer(BaselineTrainer):
             entry = self.trajectory_pool_shuffle[view].pop()
             traj = entry.traj_c2ws
 
-        pc_renders = self.pc_render_along(traj, view)
+        import time as _time
 
+        _t = _time.time()
+        pc_renders = self.pc_render_along(traj, view)
+        # readback barrier: block_until_ready is unreliable through the
+        # remote-TPU tunnel (see bench.py)
+        np.asarray(jax.tree.leaves(pc_renders)[0].ravel()[0:1])
+        _t_pc = _time.time() - _t
+
+        _t = _time.time()
         rgbs, alphas, depths = [], [], []
         for i in range(traj.shape[0]):
             w2c = np.linalg.inv(traj[i])
@@ -760,7 +768,9 @@ class GuidedTrainer(BaselineTrainer):
         gs_rgb = jnp.stack(rgbs)  # (T, 3, H, W)
         gs_alpha = (jnp.stack(alphas) < 0.9).astype(jnp.float32)[:, None]  # (T,1,H,W)
         gs_depth = jnp.stack(depths)[:, None]
+        _t_frozen = _time.time() - _t
 
+        _t = _time.time()
         event_dir = self._event_dir(iteration)
         if event_dir:
             # the reference's primary visual debugging artifacts
@@ -775,6 +785,9 @@ class GuidedTrainer(BaselineTrainer):
             d = (d - d.min()) / max(float(d.max() - d.min()), 1e-8)
             save_video(d, f"{event_dir}/gs_render_depth.mp4")
 
+        _t_art = _time.time() - _t
+
+        _t = _time.time()
         self.jrng, k = jax.random.split(self.jrng)
         # optional guidance-weight warmup over the run
         # (reference viewcrafter_wrapper.py:92-99 learning_rate_decay,
@@ -796,6 +809,12 @@ class GuidedTrainer(BaselineTrainer):
             video = jax.image.resize(
                 video, (video.shape[0], 3, self.H, self.W), "bilinear"
             )
+        print(
+            f"  [event it{iteration}] pc_render {_t_pc:.1f}s "
+            f"frozen×{traj.shape[0]} {_t_frozen:.1f}s artifacts {_t_art:.1f}s "
+            f"generate {_time.time()-_t:.1f}s",
+            flush=True,
+        )
         return (iteration, view, traj, video, gs_alpha, gs_depth, event_dir)
 
     # -- device-resident pseudo pool (chunked trainer) ------------------------
@@ -1060,6 +1079,8 @@ class GuidedTrainer(BaselineTrainer):
             self.vgg_loss_fn, getattr(opt, "pseudo_cam_lpips_weight", 0.1)
         )
         t0 = time.time()
+        chunk_s = 0.0  # device-dispatch (+ metric readback) seconds
+        event_s = 0.0  # diffusion-event seconds (renders, engine, artifacts)
 
         # diffusion events fire after step it when (it-1) % vd == 0
         # (reference train_guidedvd.py:431), gated by end_sample_pseudo
@@ -1125,6 +1146,7 @@ class GuidedTrainer(BaselineTrainer):
                 apply_adam = z(np.asarray(apply_adam), False)
                 update_stats = z(np.asarray(update_stats), False)
 
+            tc = time.time()
             self.state, metrics = chunk_fn(
                 self.state, rcs, gts,
                 self._pool_rcs if with_pseudo else None,
@@ -1143,6 +1165,7 @@ class GuidedTrainer(BaselineTrainer):
                 with_pseudo=with_pseudo,
             )
             m = {key: np.asarray(v)[:k] for key, v in metrics.items()}
+            chunk_s += time.time() - tc
             metrics = {
                 "loss": m["loss"][-1], "l1": m["l1"][-1],
                 "pseudo_l1": m["pseudo_l1"][-1], "psnr": m["psnr"][-1],
@@ -1167,6 +1190,7 @@ class GuidedTrainer(BaselineTrainer):
                 self.state = reset_opacity_jit(self.state)
 
             if it1 in event_its:
+                te = time.time()
                 if self.pipeline_guidance:
                     if self._pending_event is not None:
                         self.finalize_diffusion_event(self._pending_event)
@@ -1174,14 +1198,18 @@ class GuidedTrainer(BaselineTrainer):
                     self._pending_event = self.submit_diffusion_event(it1)
                 else:
                     self.run_diffusion_event(it1)
+                event_s += time.time() - te
 
             self.ema_loss = float(metrics["loss_mean"])
             if log_every and it1 % log_every == 0:
                 rate = (it1 - start_iteration) / (time.time() - t0)
+                other_s = (time.time() - t0) - chunk_s - event_s
                 print(
                     f"[{it1}/{iterations}] loss={float(metrics['loss']):.5f} "
                     f"psnr={float(metrics['psnr']):.2f} "
-                    f"n={int(self.state.num_active())} {rate:.1f} it/s",
+                    f"n={int(self.state.num_active())} {rate:.1f} it/s "
+                    f"(chunk {chunk_s:.0f}s event {event_s:.0f}s "
+                    f"other {other_s:.0f}s)",
                     flush=True,
                 )
                 if self.logger is not None:
