@@ -59,6 +59,17 @@ from guidedvd3dgs_tpu.utils.losses import l1_loss, psnr, ssim
 # ----------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("height", "width"))
+def _splat_along(points, colors, w2cs, K, height, width):
+    """Z-buffer point splat along a (T, 4, 4) trajectory in one dispatch."""
+
+    def body(_, w2c):
+        out = splat_points_world(points, colors, w2c, K, height, width)
+        return None, out.image
+
+    return jax.lax.scan(body, None, w2cs)[1]
+
+
 class FrozenRenderer:
     """Renders a frozen Gaussian state for guidance (reference
     utils/easy_renderer.py:15-78: loads the baseline model and returns
@@ -81,12 +92,47 @@ class FrozenRenderer:
 
         self._render = _render
 
+        @partial(jax.jit, static_argnames=("height", "width"))
+        def _render_many(state, viewmats, projmats, campos, tanfovx, tanfovy,
+                         height, width):
+            def body(_, per):
+                vm, pm, cp = per
+                cam = RasterCamera(vm, pm, cp, tanfovx, tanfovy, height, width)
+                r = render_gaussians(
+                    state.params, state.active, state.confidence, cam, self.bg,
+                    self.sh_degree, backend=self.backend,
+                )
+                return None, (r.color, r.alpha, r.depth)
+            _, outs = jax.lax.scan(body, None, (viewmats, projmats, campos))
+            return outs
+
+        self._render_many = _render_many
+
     def render(self, w2c: np.ndarray, K: np.ndarray, height: int, width: int):
         cam = camera_from_w2c_K(np.asarray(w2c), np.asarray(K), height, width)
         rc = cam.raster_camera()
         return self._render(
             self.state, rc.viewmatrix, rc.projmatrix, rc.campos,
             rc.tanfovx, rc.tanfovy, height, width,
+        )
+
+    def render_many(self, w2cs: np.ndarray, K: np.ndarray, height: int, width: int):
+        """Render T frames in ONE device dispatch (lax.scan over stacked
+        cameras). A diffusion event needs 25 frozen renders; per-frame
+        dispatch costs ~28 ms through a remotely-attached TPU, so the serial
+        loop pays ~1 s of pure latency per event — the batched scan pays it
+        once. Returns (color (T,3,H,W), alpha (T,H,W), depth (T,H,W))."""
+        rcs = [
+            camera_from_w2c_K(np.asarray(w), np.asarray(K), height, width)
+            .raster_camera()
+            for w in w2cs
+        ]
+        return self._render_many(
+            self.state,
+            jnp.stack([rc.viewmatrix for rc in rcs]),
+            jnp.stack([rc.projmatrix for rc in rcs]),
+            jnp.stack([rc.campos for rc in rcs]),
+            rcs[0].tanfovx, rcs[0].tanfovy, height, width,
         )
 
 
@@ -265,14 +311,15 @@ def build_trajectory_pool(
             )
             cands, offsets = pm.candidate_pose_grid(obj_poses, back, d_phi, d_theta)
 
-            areas = []
-            for i in range(cands.shape[0]):
-                w2c = np.linalg.inv(cands[i])
-                _, alpha, _ = frozen.render(w2c, intrinsic, height, width)
-                unobs = (np.asarray(alpha) < 0.7).astype(np.float32)
-                unobs = np.asarray(morph.erode(jnp.asarray(unobs), 5))
-                areas.append(unobs.sum())
-            areas = np.asarray(areas)
+            # all candidates of this (view, scale) in ONE device dispatch:
+            # the serial per-candidate loop paid ~450 dispatch round-trips
+            # (~6 min of pool build through the remote-TPU link)
+            w2cs = np.stack([np.linalg.inv(c) for c in cands])
+            _, alphas, _ = frozen.render_many(w2cs, intrinsic, height, width)
+            unobs = jax.vmap(lambda a: morph.erode((a < 0.7).astype(jnp.float32), 5))(
+                alphas
+            )
+            areas = np.asarray(unobs.sum(axis=(1, 2)))
             ok = np.nonzero(areas < mask_thresh)[0]
             order = np.argsort(-areas[ok])[:top_k]
             for j in ok[order]:
@@ -697,16 +744,14 @@ class GuidedTrainer(BaselineTrainer):
 
     def pc_render_along(self, traj_c2ws: np.ndarray, view_idx: int) -> jnp.ndarray:
         """Splat the scene point cloud along the trajectory; frame 0 replaced
-        by the real training image (reference viewcrafter_wrapper.py:469-548)."""
-        frames = []
-        for i in range(traj_c2ws.shape[0]):
-            w2c = np.linalg.inv(traj_c2ws[i])
-            out = splat_points_world(
-                self.pcd_points, self.pcd_colors, jnp.asarray(w2c, jnp.float32),
-                jnp.asarray(self.intrinsic, jnp.float32), self.H, self.W,
-            )
-            frames.append(out.image)
-        frames = jnp.stack(frames)  # (T, H, W, 3)
+        by the real training image (reference viewcrafter_wrapper.py:469-548).
+        All T frames run in ONE jitted dispatch — the eager per-frame loop
+        paid op-by-op latency through the remote-TPU link."""
+        w2cs = np.stack([np.linalg.inv(c) for c in traj_c2ws]).astype(np.float32)
+        frames = _splat_along(
+            self.pcd_points, self.pcd_colors, jnp.asarray(w2cs),
+            jnp.asarray(self.intrinsic, jnp.float32), self.H, self.W,
+        )  # (T, H, W, 3)
         real = jnp.transpose(jnp.asarray(self.train_cams[view_idx].image), (1, 2, 0))
         return frames.at[0].set(real)
 
@@ -755,19 +800,18 @@ class GuidedTrainer(BaselineTrainer):
         _t_pc = _time.time() - _t
 
         _t = _time.time()
-        rgbs, alphas, depths = [], [], []
-        for i in range(traj.shape[0]):
-            w2c = np.linalg.inv(traj[i])
-            rgb, alpha, depth = self.frozen.render(w2c, self.intrinsic, self.H, self.W)
-            if self.frozen_mask is not None:
-                # two-renderer variant: mask alpha from the second model
-                _, alpha, _ = self.frozen_mask.render(w2c, self.intrinsic, self.H, self.W)
-            rgbs.append(jnp.clip(rgb, 0, 1))
-            alphas.append(jnp.clip(alpha, 0, 1))
-            depths.append(depth)
-        gs_rgb = jnp.stack(rgbs)  # (T, 3, H, W)
-        gs_alpha = (jnp.stack(alphas) < 0.9).astype(jnp.float32)[:, None]  # (T,1,H,W)
-        gs_depth = jnp.stack(depths)[:, None]
+        w2cs = np.stack([np.linalg.inv(traj[i]) for i in range(traj.shape[0])])
+        rgb, alpha, depth = self.frozen.render_many(
+            w2cs, self.intrinsic, self.H, self.W
+        )
+        if self.frozen_mask is not None:
+            # two-renderer variant: mask alpha from the second model
+            _, alpha, _ = self.frozen_mask.render_many(
+                w2cs, self.intrinsic, self.H, self.W
+            )
+        gs_rgb = jnp.clip(rgb, 0, 1)  # (T, 3, H, W)
+        gs_alpha = (jnp.clip(alpha, 0, 1) < 0.9).astype(jnp.float32)[:, None]  # (T,1,H,W)
+        gs_depth = depth[:, None]
         _t_frozen = _time.time() - _t
 
         _t = _time.time()
