@@ -190,6 +190,64 @@ class MockDiffusionEngine:
         return jnp.clip(guidance_images * m + pc * (1 - m), 0.0, 1.0)
 
 
+class OracleDiffusionEngine:
+    """Validation engine: the pseudo-GT video is rendered from a *known*
+    ground-truth Gaussian state (the `tools/make_synthetic_scene.py`
+    `gt_gaussians.npz`), i.e. a perfect generative prior. This isolates the
+    guided-trainer machinery — trajectory pool, pseudo stacks, novel-pose
+    densification (reference train_guidedvd.py:343-416) — for end-to-end
+    quality validation without external ViewCrafter weights: with an
+    informative prior the guided run must beat the baseline on held-out
+    views, which the mock engine (no new information) cannot show.
+
+    The trainer passes the event trajectory via ``set_trajectory`` (duck-
+    typed in ``submit_diffusion_event``) since ``generate`` itself only
+    receives image buffers (the real engine needs nothing else)."""
+
+    def __init__(self, gt_npz: str, video_length=25, height=320, width=448,
+                 sh_degree=3, backend="auto", device=None):
+        z = np.load(gt_npz)
+        n = int(z["xyz"].shape[0])
+        params = G.GaussianParams(
+            xyz=jnp.asarray(z["xyz"]),
+            features_dc=jnp.asarray(z["f_dc"]),
+            features_rest=jnp.asarray(z["f_rest"]),
+            scaling=jnp.asarray(z["scaling"]),
+            rotation=jnp.asarray(z["rotation"]),
+            opacity=jnp.asarray(z["opacity"]),
+        )
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        state = G.GaussianState(
+            params=params, adam_m=zeros, adam_v=zeros,
+            step=jnp.zeros((), jnp.int32),
+            active=jnp.ones((n,), bool),
+            confidence=jnp.ones((n, 1), jnp.float32),
+            max_radii2d=jnp.zeros((n,), jnp.float32),
+            xyz_gradient_accum=jnp.zeros((n, 1), jnp.float32),
+            denom=jnp.zeros((n, 1), jnp.float32),
+        )
+        self.renderer = FrozenRenderer(state, sh_degree, backend=backend)
+        self.video_length = video_length
+        self.height = height
+        self.width = width
+        self.device = device
+        self._w2cs = None
+        self._K = None
+
+    def set_trajectory(self, w2cs: np.ndarray, K: np.ndarray):
+        self._w2cs = np.asarray(w2cs)
+        self._K = np.asarray(K)
+
+    def generate(self, pc_renders, guidance_images, guidance_masks,
+                 guidance_depths, rng, no_guidance=False, scale_guidance_weight=1.0):
+        if self._w2cs is None:
+            raise RuntimeError("OracleDiffusionEngine: set_trajectory not called")
+        rgb, _, _ = self.renderer.render_many(
+            self._w2cs, self._K, self.height, self.width
+        )
+        return jnp.clip(rgb, 0.0, 1.0)
+
+
 class ViewCrafterEngine:
     """The real engine: JAX ViewCrafter stack + guided DDIM
     (reference utils/viewcrafter_wrapper.py:550-573 run_video_diffusion)."""
@@ -842,6 +900,9 @@ class GuidedTrainer(BaselineTrainer):
             sw = guidance_weight_schedule(iteration)
         else:
             sw = 1.0
+        if hasattr(self.engine, "set_trajectory"):
+            # oracle/validation engines render along the event trajectory
+            self.engine.set_trajectory(w2cs, self.intrinsic)
         video = self.engine.generate(
             pc_renders, gs_rgb, 1.0 - gs_alpha, gs_depth, k,
             no_guidance=getattr(self.opt, "no_guidance", False),

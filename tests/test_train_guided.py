@@ -134,3 +134,42 @@ def test_pipelined_events_lag_one_boundary():
     trainer.finalize_diffusion_event(trainer._pending_event)
     trainer._pending_event = None
     assert trainer.events_run == 2
+
+
+def test_oracle_engine_renders_gt(tmp_path):
+    """OracleDiffusionEngine: pseudo-GT comes from the known GT gaussians —
+    generate() must reproduce FrozenRenderer output at the event trajectory,
+    and a diffusion event must fill the pseudo stack with those frames."""
+    from guidedvd3dgs_tpu.train.guided import OracleDiffusionEngine
+
+    trainer, cams = _setup()
+    # write the frozen GT state as a gt_gaussians.npz (make_synthetic_scene
+    # format) and build the oracle engine from it
+    st = trainer.frozen.state
+    n = int(np.asarray(st.active).sum())
+    npz = tmp_path / "gt_gaussians.npz"
+    np.savez(
+        npz,
+        xyz=np.asarray(st.params.xyz[:n]),
+        f_dc=np.asarray(st.params.features_dc[:n]),
+        f_rest=np.asarray(st.params.features_rest[:n]),
+        scaling=np.asarray(st.params.scaling[:n]),
+        rotation=np.asarray(st.params.rotation[:n]),
+        opacity=np.asarray(st.params.opacity[:n]),
+    )
+    engine = OracleDiffusionEngine(str(npz), video_length=5, height=40,
+                                   width=40, sh_degree=0, backend="dense")
+    trainer.engine = engine
+    trainer.init_trajectory_pool()
+    trainer.run_diffusion_event(1)
+
+    assert len(trainer.pseudo_stack) == 4
+    # the pseudo frames must equal frozen-GT renders at the stored cameras
+    pc = trainer.pseudo_stack[0]
+    w2c = np.eye(4)
+    w2c[:3, :3] = np.asarray(pc.R).T
+    w2c[:3, 3] = np.asarray(pc.T)
+    rgb, _, _ = trainer.frozen.render(w2c, trainer.intrinsic, 40, 40)
+    np.testing.assert_allclose(
+        np.asarray(pc.pseudo_gt), np.clip(np.asarray(rgb), 0, 1), atol=2e-5
+    )

@@ -61,6 +61,15 @@ def build_engine(args, opt, height, width):
             guided_cfg=GuidedSampleConfig(recur_steps=opt.guidance_recur_steps),
             video_length=25, height=320, width=d_w, device=device,
         )
+    if args.oracle_gt_npz:
+        from guidedvd3dgs_tpu.train.guided import OracleDiffusionEngine
+
+        print(f"Using ORACLE diffusion engine (GT gaussians from "
+              f"{args.oracle_gt_npz}) — guided-machinery validation mode.")
+        return OracleDiffusionEngine(
+            args.oracle_gt_npz, video_length=25, height=height, width=width,
+            backend=args.oracle_backend, device=device,
+        )
     from guidedvd3dgs_tpu.train.guided import MockDiffusionEngine
 
     print("WARNING: no --viewcrafter_ckpt given; using the MOCK diffusion "
@@ -83,6 +92,11 @@ def main():
                         help="model_path of the trained baseline (frozen renderer)")
     parser.add_argument("--baseline_iteration", type=int, default=10_000)
     parser.add_argument("--viewcrafter_ckpt", type=str, default=None)
+    parser.add_argument("--oracle_gt_npz", type=str, default=None,
+                        help="validation mode: pseudo-GT rendered from these "
+                             "ground-truth gaussians (make_synthetic_scene.py "
+                             "output) instead of a diffusion model")
+    parser.add_argument("--oracle_backend", type=str, default="auto")
     parser.add_argument("--vgg19_weights", type=str, default=None)
     parser.add_argument("--test_iterations", nargs="+", type=int, default=[10_000])
     parser.add_argument("--save_iterations", nargs="+", type=int, default=[10_000])
