@@ -914,12 +914,23 @@ class GuidedTrainer(BaselineTrainer):
             video = jax.image.resize(
                 video, (video.shape[0], 3, self.H, self.W), "bilinear"
             )
+        _t_gen = _time.time() - _t
         print(
             f"  [event it{iteration}] pc_render {_t_pc:.1f}s "
             f"frozen×{traj.shape[0]} {_t_frozen:.1f}s artifacts {_t_art:.1f}s "
-            f"generate {_time.time()-_t:.1f}s",
+            f"generate {_t_gen:.1f}s",
             flush=True,
         )
+        ph = getattr(self, "event_phase_s", None)
+        if ph is None:
+            ph = self.event_phase_s = {
+                "pc_render": 0.0, "frozen": 0.0, "artifacts": 0.0,
+                "generate": 0.0,
+            }
+        ph["pc_render"] += _t_pc
+        ph["frozen"] += _t_frozen
+        ph["artifacts"] += _t_art
+        ph["generate"] += _t_gen
         return (iteration, view, traj, video, gs_alpha, gs_depth, event_dir)
 
     # -- device-resident pseudo pool (chunked trainer) ------------------------
@@ -1349,4 +1360,39 @@ class GuidedTrainer(BaselineTrainer):
         if self._pending_event is not None:
             self.finalize_diffusion_event(self._pending_event)
             self._pending_event = None
+        self._write_timing_summary(
+            iterations, start_iteration, time.time() - t0, chunk_s, event_s,
+            len(event_its),
+        )
         return self.state
+
+    def _write_timing_summary(self, iterations, start_iteration, total_s,
+                              chunk_s, event_s, n_events):
+        """Persist the measured phase split for wall-clock projection
+        (tools/project_wallclock.py) against the reference's 3-4 h/scene on
+        2x V100 (reference README.md Quick Start)."""
+        mp = getattr(self.model_params, "model_path", "") or ""
+        if not mp:
+            return
+        import json
+        import os
+
+        iters = iterations - start_iteration
+        summary = {
+            "iterations": iters,
+            "total_s": round(total_s, 1),
+            "chunk_s": round(chunk_s, 1),
+            "event_s": round(event_s, 1),
+            "other_s": round(total_s - chunk_s - event_s, 1),
+            "events_run": self.events_run,
+            "events_scheduled": n_events,
+            "it_per_s": round(iters / max(total_s, 1e-9), 3),
+            "train_res": [self.H, self.W],
+            "event_phase_s": {
+                k: round(v, 1)
+                for k, v in getattr(self, "event_phase_s", {}).items()
+            },
+            "engine": type(self.engine).__name__,
+        }
+        with open(os.path.join(mp, "timing_summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)

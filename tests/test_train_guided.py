@@ -173,3 +173,42 @@ def test_oracle_engine_renders_gt(tmp_path):
     np.testing.assert_allclose(
         np.asarray(pc.pseudo_gt), np.clip(np.asarray(rgb), 0, 1), atol=2e-5
     )
+
+
+def test_timing_summary_and_projection(tmp_path):
+    """GuidedTrainer._write_timing_summary persists the measured phase split
+    and tools/project_wallclock.project turns it into an hours-per-scene
+    number at the reference workload (reference README.md: 3-4 h/scene)."""
+    import types
+
+    from guidedvd3dgs_tpu.train.guided import GuidedTrainer
+    from tools.project_wallclock import project
+
+    t = types.SimpleNamespace(
+        model_params=types.SimpleNamespace(model_path=str(tmp_path)),
+        events_run=2, H=40, W=40,
+        engine=types.SimpleNamespace(),
+        event_phase_s={"pc_render": 1.0, "frozen": 2.0, "artifacts": 0.5,
+                       "generate": 10.0},
+    )
+    GuidedTrainer._write_timing_summary(
+        t, iterations=300, start_iteration=0, total_s=100.0, chunk_s=60.0,
+        event_s=20.0, n_events=2,
+    )
+    import json
+
+    summary = json.load(open(tmp_path / "timing_summary.json"))
+    assert summary["iterations"] == 300
+    assert summary["other_s"] == 20.0
+    assert summary["event_phase_s"]["generate"] == 10.0
+
+    out = project(summary, None, events=37, ddim_steps=50, iterations=10_000)
+    # train: 10000/(300/60)=2000s; events: 37*(1.75+5)=249.75s; other 20s
+    assert out["unit"] == "h"
+    assert abs(out["value"] - (2000 + 37 * 6.75 + 20) / 3600) < 0.01
+    assert out["vs_baseline"] > 0
+
+    # a full-size smoke number overrides the measured generate phase
+    smoke = {"timings": {"guided_step_run_s": 4.0}}
+    out2 = project(summary, smoke, events=37, ddim_steps=50, iterations=10_000)
+    assert out2["detail"]["generate_per_event_s"] == 200.0
