@@ -167,6 +167,9 @@ class OptimizationParams(ParamGroup):
     guidance_verbose: bool = False
     guidance_videos_from_file: bool = False
     guidance_save_videos: bool = True
+    # per-DDIM-step pred_x0 debug videos into the event dir (reference
+    # LossGuidance.save_pred_x0, viewcrafter_wrapper.py:174-192)
+    save_pred_x0: bool = False
     append_pcd_from_video_diffusion: bool = False
     scale_guidance_weight: bool = False
     scannetpp_newres: bool = False

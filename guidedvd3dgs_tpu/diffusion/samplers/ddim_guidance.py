@@ -136,9 +136,14 @@ def guided_ddim_sample(
     guidance_fn: GuidanceFn,
     scfg: GuidedSampleConfig = GuidedSampleConfig(),
     scale_guidance_weight: float | jnp.ndarray = 1.0,
+    return_trace: bool = False,
 ) -> jnp.ndarray:
     """Full guided reverse process (reference ddim_guidance.py:136-202 +
-    :205-363). Returns x_0 latents (1, T, h, w, 4)."""
+    :205-363). Returns x_0 latents (1, T, h, w, 4); with ``return_trace``
+    also the per-step pred_x0 latents (S, T, h, w, 4) — stacked as a scan
+    output rather than the reference's per-step host callbacks
+    (ddim_guidance.py:330-331 save_pred_x0), so the debug artifact costs one
+    extra scan output instead of S synchronous device->host round-trips."""
     s = pr.num_steps
     sw = jnp.asarray(scale_guidance_weight, jnp.float32)
 
@@ -146,7 +151,7 @@ def guided_ddim_sample(
         x, key = carry
         index = s - 1 - i
         for r in range(scfg.recur_steps):
-            x_prev, _, key = _guided_step(
+            x_prev, pred_x0, key = _guided_step(
                 params, mcfg, sched, pr, cond, uncond, scfg, guidance_fn, sw,
                 x, index, key,
             )
@@ -156,7 +161,10 @@ def guided_ddim_sample(
                 key, nk = jax.random.split(key)
                 n = jax.random.normal(nk, x.shape, x.dtype)
                 x = jnp.sqrt(beta_t) * x_prev + jnp.sqrt(1.0 - beta_t) * n
-        return (x_prev, key), None
+        y = pred_x0[0] if return_trace else None
+        return (x_prev, key), y
 
-    (x, _), _ = jax.lax.scan(body, (x_T, rng), jnp.arange(s))
+    (x, _), trace = jax.lax.scan(body, (x_T, rng), jnp.arange(s))
+    if return_trace:
+        return x, trace
     return x

@@ -113,8 +113,11 @@ def image_guided_synthesis(
     guided_cfg: GuidedSampleConfig = GuidedSampleConfig(),
     scale_guidance_weight: float = 1.0,
     prompt_tokens: Optional[np.ndarray] = None,
+    pred_x0_trace: bool = False,
 ) -> jnp.ndarray:
-    """Returns the generated video (T, H, W, 3) in [-1, 1]."""
+    """Returns the generated video (T, H, W, 3) in [-1, 1]; with
+    ``pred_x0_trace`` (guided path only) also the per-DDIM-step pred_x0
+    latents (S, T, h, w, 4) for debug artifact dumps."""
     sched = mcfg.schedule()
     pr = S.make_ddim_params(
         sched, scfg.ddim_steps, eta=scfg.ddim_eta, method=scfg.timestep_spacing
@@ -157,10 +160,16 @@ def image_guided_synthesis(
         gcfg = guided_cfg._replace(
             cfg_scale=scfg.cfg_scale, guidance_rescale=scfg.guidance_rescale
         )
+        if pred_x0_trace:
+            x0, trace = guided_ddim_sample(
+                params, mcfg, sched, pr, cond, uncond, x_T, sk, guidance_fn,
+                gcfg, scale_guidance_weight, return_trace=True,
+            )
+            return decode_video_frames(params, mcfg, x0[0]), trace
         x0 = guided_ddim_sample(
             params, mcfg, sched, pr, cond, uncond, x_T, sk, guidance_fn,
             gcfg, scale_guidance_weight,
         )
 
     frames = decode_video_frames(params, mcfg, x0[0])
-    return frames
+    return (frames, None) if pred_x0_trace else frames

@@ -280,6 +280,10 @@ class ViewCrafterEngine:
         # alpha mask and applies the recon loss everywhere
         # (viewcrafter_wrapper.py:147-151)
         self.scale_weight_mode = False
+        # when set by the trainer (opt.save_pred_x0), per-DDIM-step pred_x0
+        # videos are decoded and written here (reference LossGuidance
+        # .save_pred_x0, viewcrafter_wrapper.py:174-192)
+        self.save_pred_x0_dir: Optional[str] = None
 
     def generate(self, pc_renders, guidance_images, guidance_masks,
                  guidance_depths, rng, no_guidance=False, scale_guidance_weight=1.0):
@@ -314,12 +318,31 @@ class ViewCrafterEngine:
                 buffers, w_recon=self.w_recon,
                 ssim_guidance=self.ssim_guidance, lpips_fn=self.lpips_fn,
             )
+        want_trace = bool(self.save_pred_x0_dir) and guidance_fn is not None
         frames = image_guided_synthesis(
             self.params, self.mcfg, self.scfg, video, rng,
             guidance_fn=guidance_fn, guided_cfg=self.guided_cfg,
             scale_guidance_weight=scale_guidance_weight,
+            pred_x0_trace=want_trace,
         )
+        if want_trace:
+            frames, trace = frames
+            self._save_pred_x0_videos(trace)
         return jnp.transpose(jnp.clip((frames + 1.0) / 2.0, 0.0, 1.0), (0, 3, 1, 2))
+
+    def _save_pred_x0_videos(self, trace):
+        """Decode the (S, T, h, w, 4) pred_x0 latent trace and write one mp4
+        per DDIM step, named by descending sampler index like the reference
+        (viewcrafter_wrapper.py:188-192 pred_x0_video_{index}). Debug path:
+        one decode dispatch per step, host loop."""
+        from guidedvd3dgs_tpu.diffusion.model import decode_video_frames
+        from guidedvd3dgs_tpu.utils.video import save_video
+
+        s = int(trace.shape[0])
+        for i in range(s):
+            fr = decode_video_frames(self.params, self.mcfg, trace[i])
+            fr = np.asarray(jnp.clip((fr + 1.0) / 2.0, 0.0, 1.0))
+            save_video(fr, f"{self.save_pred_x0_dir}/pred_x0_step{s - 1 - i:03d}.mp4")
 
 
 # ----------------------------------------------------------------------------
@@ -903,6 +926,14 @@ class GuidedTrainer(BaselineTrainer):
         if hasattr(self.engine, "set_trajectory"):
             # oracle/validation engines render along the event trajectory
             self.engine.set_trajectory(w2cs, self.intrinsic)
+        if hasattr(self.engine, "save_pred_x0_dir"):
+            # per-DDIM-step pred_x0 debug videos into the event dir
+            # (reference train_guidedvd.py --save_pred_x0 path)
+            self.engine.save_pred_x0_dir = (
+                event_dir
+                if event_dir and getattr(self.opt, "save_pred_x0", False)
+                else None
+            )
         video = self.engine.generate(
             pc_renders, gs_rgb, 1.0 - gs_alpha, gs_depth, k,
             no_guidance=getattr(self.opt, "no_guidance", False),

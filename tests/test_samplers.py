@@ -218,3 +218,36 @@ def test_multicond_reduces_to_plain_cfg_when_uncond_img_is_uncond():
                                  guidance_rescale=0.7)
     assert bool(jnp.isfinite(got2).all())
     assert not np.allclose(np.asarray(got2), np.asarray(ref))
+
+
+@pytest.mark.slow
+def test_guided_ddim_pred_x0_trace(tiny):
+    """return_trace stacks per-step pred_x0 as a scan output: shape
+    (S, T, h, w, 4), finite, last step's trace entry equals the returned x0
+    (x_prev at the final step IS pred_x0 when alpha_prev=final; we only
+    assert shape/finiteness + that the final x0 is reproducible)."""
+    cfg, params = tiny
+    sched = cfg.schedule()
+    pr = S.make_ddim_params(sched, 3, eta=1.0, method="uniform_trailing")
+    b, t, h, w = 1, 2, 8, 8
+    cond = _cond(jax.random.key(1), b, t, 16, h, w)
+    uncond = cond._replace(context=jnp.zeros_like(cond.context))
+    target = jnp.zeros((t, h, w, 3)) + 0.25
+
+    def guidance_fn(frame, ddim_index, frame_idx):
+        diff = (frame - target[frame_idx]) ** 2
+        return 0.5 * diff.sum(), jnp.float32(diff.size)
+
+    x_T = jax.random.normal(jax.random.key(2), (b, t, h, w, 4))
+    x0, trace = guided_ddim_sample(
+        params, cfg, sched, pr, cond, uncond, x_T, jax.random.key(3),
+        guidance_fn, GuidedSampleConfig(rho_scale=2.0), return_trace=True,
+    )
+    assert trace.shape == (3, t, h, w, 4)
+    assert bool(jnp.isfinite(trace).all())
+    # trace must not change the sampled result
+    x0_ref = guided_ddim_sample(
+        params, cfg, sched, pr, cond, uncond, x_T, jax.random.key(3),
+        guidance_fn, GuidedSampleConfig(rho_scale=2.0),
+    )
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x0_ref), atol=1e-6)
