@@ -1381,11 +1381,18 @@ class GuidedTrainer(BaselineTrainer):
             if it1 in saving_iterations:
                 self.scene.save(it1, self.state)
             if it1 in checkpoint_iterations and checkpoint_dir:
-                from guidedvd3dgs_tpu.train.checkpoint import save_checkpoint
+                from guidedvd3dgs_tpu.train.guided_checkpoint import (
+                    save_guided_checkpoint,
+                )
 
+                # flush the in-flight event first so the pseudo pool in the
+                # checkpoint reflects everything generated up to it1
+                if self._pending_event is not None:
+                    self.finalize_diffusion_event(self._pending_event)
+                    self._pending_event = None
                 path = f"{checkpoint_dir}/chkpnt{it1}.ckpt"
-                save_checkpoint(path, self.state, it1)
-                print(f"[ITER {it1}] saved checkpoint {path}")
+                save_guided_checkpoint(path, self, it1)
+                print(f"[ITER {it1}] saved guided checkpoint {path}")
             it0 = it1
 
         if self._pending_event is not None:

@@ -212,3 +212,41 @@ def test_timing_summary_and_projection(tmp_path):
     smoke = {"timings": {"guided_step_run_s": 4.0}}
     out2 = project(summary, smoke, events=37, ddim_steps=50, iterations=10_000)
     assert out2["detail"]["generate_per_event_s"] == 200.0
+
+
+def test_guided_checkpoint_resume_exact(tmp_path):
+    """A guided run checkpointed mid-stream and resumed in a fresh trainer
+    must produce bit-identical final parameters and pseudo-stack structure
+    to the uninterrupted run (the reference cannot resume guided runs at
+    all — train_guidedvd.py never wires --start_checkpoint)."""
+    from guidedvd3dgs_tpu.train.guided_checkpoint import (
+        load_guided_checkpoint,
+        save_guided_checkpoint,
+    )
+
+    ck = str(tmp_path / "chkpnt80.ckpt")
+
+    # run A: 0 -> 120 with a checkpoint at 80
+    a, _ = _setup()
+    a.init_trajectory_pool()
+    a.train_scan(iterations=120, log_every=0,
+                 checkpoint_iterations={80}, checkpoint_dir=str(tmp_path),
+                 alltime_cap=16)
+    xyz_a = np.asarray(a.state.params.xyz)
+
+    # run B: fresh trainer, resume at 80, continue to 120
+    b, _ = _setup()
+    it = load_guided_checkpoint(ck, b)
+    assert it == 80
+    assert b.events_run == a.events_run or b.events_run <= a.events_run
+    b.train_scan(iterations=120, log_every=0, start_iteration=it,
+                 alltime_cap=16)
+
+    np.testing.assert_allclose(
+        np.asarray(b.state.params.xyz), xyz_a, atol=0, rtol=0
+    )
+    assert len(b.pseudo_stack) == len(a.pseudo_stack)
+    assert len(b.pseudo_stack_alltime) == len(a.pseudo_stack_alltime)
+    assert [c.pool_slot for c in b.pseudo_stack_alltime] == [
+        c.pool_slot for c in a.pseudo_stack_alltime
+    ]

@@ -101,6 +101,10 @@ def main():
     parser.add_argument("--test_iterations", nargs="+", type=int, default=[10_000])
     parser.add_argument("--save_iterations", nargs="+", type=int, default=[10_000])
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None,
+                        help="resume a guided checkpoint written at "
+                             "--checkpoint_iterations (restores pseudo pool, "
+                             "trajectory pool, and RNG streams exactly)")
     parser.add_argument("--quiet", action="store_true")
     # two-renderer variant: a SECOND frozen baseline decides the guidance
     # mask while --baseline_path provides rgb/depth (reference
@@ -219,14 +223,26 @@ def main():
     from guidedvd3dgs_tpu.train.logging import MetricsLogger
 
     trainer.attach_logger(MetricsLogger(dataset.model_path))
-    print("Building trajectory pool ...")
-    trainer.init_trajectory_pool()
+    start_iteration = 0
+    if args.start_checkpoint:
+        # exact resume incl. pseudo pool / trajectory pool / RNG streams —
+        # the reference cannot resume guided runs at all (its
+        # --start_checkpoint is only wired in train_baseline.py)
+        from guidedvd3dgs_tpu.train.guided_checkpoint import load_guided_checkpoint
+
+        start_iteration = load_guided_checkpoint(args.start_checkpoint, trainer)
+        print(f"Resumed guided checkpoint {args.start_checkpoint} "
+              f"at iteration {start_iteration}")
+    else:
+        print("Building trajectory pool ...")
+        trainer.init_trajectory_pool()
     kwargs = dict(
         iterations=opt.iterations,
         test_iterations=set(args.test_iterations),
         saving_iterations=set(args.save_iterations),
         checkpoint_iterations=set(args.checkpoint_iterations),
         checkpoint_dir=dataset.model_path,
+        start_iteration=start_iteration,
     )
     if args.no_scan or args.profile_dir:
         trainer.train(profile_dir=args.profile_dir, **kwargs)
