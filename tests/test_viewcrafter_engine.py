@@ -1,0 +1,85 @@
+"""ViewCrafterEngine end-to-end at a tiny config: the real engine class
+(conditioning via the vocab-free prompt cache, guided DDIM through the toy
+UNet/VAE/CLIP/resampler, train-res != engine-res resize both ways, pred_x0
+debug artifacts) driven through a full GuidedTrainer diffusion event.
+
+Covers the reference run_video_diffusion call stack
+(utils/viewcrafter_wrapper.py:550-573 + diffusion_utils.py:118-223) at toy
+scale with random weights — the full-size single-chip memory smoke lives in
+tools/diffusion_fullsize_smoke.py.
+"""
+
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from guidedvd3dgs_tpu.diffusion import clip as clip_mod
+from guidedvd3dgs_tpu.diffusion.init import init_diffusion_params
+from guidedvd3dgs_tpu.diffusion.model import LatentDiffusionConfig
+from guidedvd3dgs_tpu.diffusion.resampler import ResamplerConfig
+from guidedvd3dgs_tpu.diffusion.synthesis import SynthesisConfig
+from guidedvd3dgs_tpu.diffusion.unet3d import UNetConfig
+from guidedvd3dgs_tpu.diffusion.vae import VAEConfig
+from guidedvd3dgs_tpu.train.guided import ViewCrafterEngine
+
+from test_train_guided import _setup
+
+pytestmark = pytest.mark.slow
+
+CTX = 32  # text width == unet context == resampler dim/output_dim
+EMB = 48  # vision width == resampler embedding_dim
+T = 5
+
+
+def _tiny_engine():
+    mcfg = LatentDiffusionConfig(
+        unet=UNetConfig(
+            model_channels=32, num_res_blocks=1, attention_resolutions=(1,),
+            channel_mult=(1,), num_head_channels=8, context_dim=CTX,
+            temporal_length=T,
+        ),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(), resolution=32, z_channels=4),
+    )
+    scfg = SynthesisConfig(
+        ddim_steps=2,
+        text_config=clip_mod.TextConfig(width=CTX, heads=4, layers=2),
+        vision_config=clip_mod.VisionConfig(width=EMB, heads=4, layers=2,
+                                            patch_size=32, image_size=224),
+        resampler_config=ResamplerConfig(
+            dim=CTX, depth=1, dim_head=8, heads=4, num_queries=4,
+            embedding_dim=EMB, output_dim=CTX, video_length=T,
+        ),
+    )
+    params = init_diffusion_params(mcfg, scfg, jax.random.key(0))
+    return ViewCrafterEngine(params, mcfg, scfg, video_length=T,
+                             height=32, width=32)
+
+
+def test_engine_event_end_to_end(tmp_path):
+    trainer, _ = _setup()  # train res 40x40 != engine 32x32: resize both ways
+    engine = _tiny_engine()
+    trainer.engine = engine
+    trainer.opt.save_pred_x0 = True
+    trainer.model_params.model_path = str(tmp_path)
+
+    trainer.init_trajectory_pool()
+    trainer.run_diffusion_event(1)
+
+    # pseudo stack rebuilt at TRAIN resolution from the engine-res video
+    assert len(trainer.pseudo_stack) == T - 1
+    pc = trainer.pseudo_stack[0]
+    assert pc.pseudo_gt.shape == (3, trainer.H, trainer.W)
+    assert np.isfinite(pc.pseudo_gt).all()
+    assert pc.pseudo_gt.min() >= 0.0 and pc.pseudo_gt.max() <= 1.0
+
+    ev = os.path.join(str(tmp_path), "diffusion_events", "train_iter1")
+    assert os.path.exists(os.path.join(ev, "render0.mp4"))
+    assert os.path.exists(os.path.join(ev, "diffusion0.mp4"))
+    # one pred_x0 video per DDIM step
+    steps = [f for f in os.listdir(ev) if f.startswith("pred_x0_step")]
+    assert sorted(steps) == ["pred_x0_step000.mp4", "pred_x0_step001.mp4"]
