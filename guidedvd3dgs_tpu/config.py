@@ -77,12 +77,12 @@ class ModelParams(ParamGroup):
     images: str = "images"
     resolution: int = -1
     white_background: bool = False
-    data_device: str = "tpu"
+    data_device: str = "tpu"  # CLI compat; images live on host, device_put per step
     eval: bool = True
     n_views: int = 6
     dataset: str = "replica"  # replica | scannetpp | re10k | blender
-    train_bg: bool = False
-    use_dust3r_init: bool = True
+    train_bg: bool = False  # CLI compat; reference-only experiment (learned bg, gaussian_model.py:170)
+    use_dust3r_init: bool = True  # CLI compat; dead upstream (only defined, arguments/__init__.py)
     # path to a precomputed DUSt3R points3D.ply (overrides dataset default)
     dust3r_ply: str = ""
 
@@ -173,7 +173,7 @@ class OptimizationParams(ParamGroup):
     append_pcd_from_video_diffusion: bool = False
     scale_guidance_weight: bool = False
     scannetpp_newres: bool = False
-    replace_diffusion_input_with_gsrender: bool = False
+    replace_diffusion_input_with_gsrender: bool = False  # CLI compat; dead upstream (never read)
 
     # txt-trajectory warmup for the hybrid-traj ScanNet++ variant
     txt_traj_warmup: bool = False

@@ -58,12 +58,19 @@ def make_guidance_fn(
     w_recon: float = 0.5,
     ssim_guidance: bool = False,
     lpips_fn: Optional[Callable] = None,
+    recon_loss: str = "l2",
 ):
     """Build the sampler GuidanceFn
-    (reference viewcrafter_wrapper.py:123-165 __call__).
+    (reference viewcrafter_wrapper.py:123-165 __call__; recon_loss mirrors
+    the --guidance_recon_loss flag — the reference ctor takes it at :53 but
+    hardcodes square at :89, so "l2" is the behavioral default and "l1" is
+    the honest implementation of the advertised option).
 
     The returned fn takes (decoded frame (H, W, 3) in [-1, 1], ddim_index,
     frame_idx) and returns (summed loss, numel)."""
+    if recon_loss not in ("l1", "l2"):
+        raise ValueError(f"recon_loss must be 'l1' or 'l2', got {recon_loss!r}")
+    recon_fn = jnp.abs if recon_loss == "l1" else jnp.square
 
     def guidance_fn(frame: jnp.ndarray, ddim_index, frame_idx):
         d = jnp.clip((frame + 1.0) / 2.0, 0.0, 1.0)  # (H, W, 3) [0,1]
@@ -72,7 +79,7 @@ def make_guidance_fn(
             mask = jnp.ones_like(d)
         else:
             mask = jnp.broadcast_to(buffers.masks[frame_idx], d.shape)
-        loss = (w_recon * jnp.square(d - g) * mask).sum()
+        loss = (w_recon * recon_fn(d - g) * mask).sum()
         numel = mask.sum()
         if ssim_guidance:
             # per-pixel SSIM map on (3, H, W) layout (reference :134-140)

@@ -40,11 +40,16 @@ def splat_points(
     radius_ndc: float = 0.01,
     background: Optional[jnp.ndarray] = None,
     near: float = 1e-4,
+    point_mask: Optional[jnp.ndarray] = None,
 ) -> SplatOutput:
     """Pinhole-project and z-buffer splat. radius_ndc follows the pytorch3d
-    convention (fraction of min(H, W)/2)."""
+    convention (fraction of min(H, W)/2). point_mask (N,) bool excludes
+    points entirely (fixed shapes: masking instead of filtering keeps the
+    call jit-stable across views)."""
     z = points_cam[:, 2]
     valid = z > near
+    if point_mask is not None:
+        valid = valid & point_mask
     zs = jnp.where(valid, z, 1.0)
     px = points_cam[:, 0] / zs * fx + cx
     py = points_cam[:, 1] / zs * fy + cy
@@ -95,6 +100,53 @@ def splat_points(
         depth=dep.reshape(height, width),
         mask=hit.reshape(height, width),
     )
+
+
+def visible_points_mask(
+    points_world: jnp.ndarray,  # (N, 3)
+    w2c: jnp.ndarray,  # (4, 4)
+    intrinsics: jnp.ndarray,  # (3, 3)
+    height: int,
+    width: int,
+    radius_ndc: float = 0.01,
+    tol: float = 0.02,
+    near: float = 1e-4,
+) -> jnp.ndarray:
+    """Bool (N,) of points visible from the view: inside the frustum and
+    within ``tol`` (relative) of the winning z-buffer depth at their pixel.
+
+    TPU-native stand-in for the reference's per-view DUSt3R pointmaps
+    (pc_render_single_view, viewcrafter_wrapper.py:477-496: the single-view
+    pointcloud IS 'the points seen from view k'): visibility-filter the
+    merged scene cloud from the source view instead of carrying per-view
+    pointmaps through the trainer."""
+    pts = jnp.matmul(
+        points_world, w2c[:3, :3].T, precision=jax.lax.Precision.HIGHEST
+    ) + w2c[:3, 3]
+    z = pts[:, 2]
+    valid = z > near
+    zs = jnp.where(valid, z, 1.0)
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    ix = jnp.round(pts[:, 0] / zs * fx + cx).astype(jnp.int32)
+    iy = jnp.round(pts[:, 1] / zs * fy + cy).astype(jnp.int32)
+    inb = valid & (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height)
+
+    r_pix = max(int(round(radius_ndc * min(height, width) * 0.5)), 0)
+    npix = height * width
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    lin0 = jnp.where(inb, iy * width + ix, npix)
+    dbuf = jnp.full((npix,), big)
+    # footprint matches the splat: a point owning any covered pixel later
+    # still must win at its own center pixel to count as visible
+    for dy in range(-r_pix, r_pix + 1):
+        for dx in range(-r_pix, r_pix + 1):
+            tx, ty = ix + dx, iy + dy
+            ib = valid & (tx >= 0) & (tx < width) & (ty >= 0) & (ty < height)
+            lin = jnp.where(ib, ty * width + tx, npix)
+            dbuf = dbuf.at[lin].min(jnp.where(ib, z, big), mode="drop")
+    win = dbuf[jnp.minimum(lin0, npix - 1)]
+    return inb & (z <= win * (1.0 + tol) + 1e-6)
 
 
 def splat_points_world(

@@ -60,11 +60,13 @@ from guidedvd3dgs_tpu.utils.losses import l1_loss, psnr, ssim
 
 
 @partial(jax.jit, static_argnames=("height", "width"))
-def _splat_along(points, colors, w2cs, K, height, width):
-    """Z-buffer point splat along a (T, 4, 4) trajectory in one dispatch."""
+def _splat_along(points, colors, w2cs, K, height, width, visible=None):
+    """Z-buffer point splat along a (T, 4, 4) trajectory in one dispatch.
+    ``visible`` masks points out entirely (single-view mode)."""
 
     def body(_, w2c):
-        out = splat_points_world(points, colors, w2c, K, height, width)
+        out = splat_points_world(points, colors, w2c, K, height, width,
+                                 point_mask=visible)
         return None, out.image
 
     return jax.lax.scan(body, None, w2cs)[1]
@@ -254,7 +256,8 @@ class ViewCrafterEngine:
 
     def __init__(self, params, mcfg, scfg, guided_cfg=None, video_length=25,
                  height=320, width=448, w_recon=0.5, ssim_guidance=False,
-                 lpips_fn: Optional[Callable] = None, device=None):
+                 lpips_fn: Optional[Callable] = None, device=None,
+                 recon_loss: str = "l2"):
         from guidedvd3dgs_tpu.diffusion.samplers.ddim_guidance import GuidedSampleConfig
 
         # reference guidance_gpu_id analog (arguments/__init__.py:129): pin
@@ -276,6 +279,8 @@ class ViewCrafterEngine:
         self.w_recon = w_recon
         self.ssim_guidance = ssim_guidance
         self.lpips_fn = lpips_fn
+        self.recon_loss = recon_loss
+        self.verbose = False  # reference LossGuidance verbose flag
         # in warmup (scale_guidance_weight) mode the reference drops the
         # alpha mask and applies the recon loss everywhere
         # (viewcrafter_wrapper.py:147-151)
@@ -317,6 +322,15 @@ class ViewCrafterEngine:
             guidance_fn = make_guidance_fn(
                 buffers, w_recon=self.w_recon,
                 ssim_guidance=self.ssim_guidance, lpips_fn=self.lpips_fn,
+                recon_loss=getattr(self, "recon_loss", "l2"),
+            )
+        if self.verbose:
+            print(
+                f"  [engine] {self.height}x{self.width}x{t} "
+                f"recon={self.recon_loss} w_recon={self.w_recon} "
+                f"ssim={self.ssim_guidance} lpips={self.lpips_fn is not None} "
+                f"guided={guidance_fn is not None} sw={scale_guidance_weight}",
+                flush=True,
             )
         want_trace = bool(self.save_pred_x0_dir) and guidance_fn is not None
         frames = image_guided_synthesis(
@@ -827,11 +841,26 @@ class GuidedTrainer(BaselineTrainer):
         """Splat the scene point cloud along the trajectory; frame 0 replaced
         by the real training image (reference viewcrafter_wrapper.py:469-548).
         All T frames run in ONE jitted dispatch — the eager per-frame loop
-        paid op-by-op latency through the remote-TPU link."""
+        paid op-by-op latency through the remote-TPU link.
+
+        Default (reference pc_render_single_view=True, train_guidedvd.py:480):
+        only the points SEEN FROM the source view are splatted — the merged
+        scene cloud visibility-filtered from view k stands in for the
+        reference's per-view DUSt3R pointmap. guidance_pc_render_all_views
+        splats the whole cloud."""
         w2cs = np.stack([np.linalg.inv(c) for c in traj_c2ws]).astype(np.float32)
+        visible = None
+        if not getattr(self.opt, "guidance_pc_render_all_views", False):
+            from guidedvd3dgs_tpu.ops.point_splat import visible_points_mask
+
+            visible = visible_points_mask(
+                self.pcd_points, jnp.asarray(w2cs[0]),
+                jnp.asarray(self.intrinsic, jnp.float32), self.H, self.W,
+            )
         frames = _splat_along(
             self.pcd_points, self.pcd_colors, jnp.asarray(w2cs),
             jnp.asarray(self.intrinsic, jnp.float32), self.H, self.W,
+            visible=visible,
         )  # (T, H, W, 3)
         real = jnp.transpose(jnp.asarray(self.train_cams[view_idx].image), (1, 2, 0))
         return frames.at[0].set(real)
@@ -842,6 +871,20 @@ class GuidedTrainer(BaselineTrainer):
         if pending is not None:
             self.finalize_diffusion_event(pending)
 
+    def _video_file_path(self, key="cur") -> Optional[str]:
+        """Saved-video store path for an event's trajectory
+        (reference train_guidedvd.py:562-566 video_files_scale layout; npz
+        instead of pickle .pth)."""
+        if key == "cur":
+            key = getattr(self, "_cur_video_key", None)
+        mp = getattr(self.model_params, "model_path", "") or ""
+        if key is None or not mp:
+            return None
+        import os
+
+        s, v, c = key
+        return os.path.join(mp, f"video_files_scale{s}", str(v), f"{c}.npz")
+
     def submit_diffusion_event(self, iteration: int):
         """Launch one diffusion event and return a pending record without
         forcing the generated video to the host. JAX async dispatch keeps the
@@ -851,6 +894,7 @@ class GuidedTrainer(BaselineTrainer):
         pseudo stack (train_guidedvd.py:633-634) already proves one-event
         staleness is tolerated."""
         view = self._next_view()
+        self._cur_video_key = None
         if self.txt_traj_warmup:
             traj = self._txt_trajectory(view)
         elif getattr(self.opt, "guidance_random_traj", False) and not getattr(
@@ -870,6 +914,9 @@ class GuidedTrainer(BaselineTrainer):
                 return  # no valid trajectory for this view
             entry = self.trajectory_pool_shuffle[view].pop()
             traj = entry.traj_c2ws
+            # key for the saved-video store (reference layout
+            # video_files_scale{scale}/{view}/{cand}.pth, train_guidedvd.py:562-566)
+            self._cur_video_key = (entry.scale_idx, view, entry.cand_idx)
 
         import time as _time
 
@@ -882,14 +929,39 @@ class GuidedTrainer(BaselineTrainer):
 
         _t = _time.time()
         w2cs = np.stack([np.linalg.inv(traj[i]) for i in range(traj.shape[0])])
-        rgb, alpha, depth = self.frozen.render_many(
-            w2cs, self.intrinsic, self.H, self.W
+        use_train_gs = getattr(
+            self.opt, "guidance_with_training_gs", False
+        ) and iteration >= getattr(
+            self.opt, "guidance_with_training_gs_startiter", 0
         )
-        if self.frozen_mask is not None:
-            # two-renderer variant: mask alpha from the second model
-            _, alpha, _ = self.frozen_mask.render_many(
+        if use_train_gs:
+            # guidance rgb/depth from the CURRENT training gaussians instead
+            # of the frozen baseline (reference train_guidedvd.py:493-517);
+            # one live renderer is kept and its state swapped per event so
+            # the jitted render_many never recompiles
+            live = getattr(self, "_live_renderer", None)
+            if live is None or live.state.capacity != self.state.capacity:
+                live = self._live_renderer = FrozenRenderer(
+                    self.state, self.max_sh_degree, backend=self.frozen.backend
+                )
+            live.state = self.state
+            rgb, alpha, depth = live.render_many(
                 w2cs, self.intrinsic, self.H, self.W
             )
+            if not getattr(self.opt, "guidance_with_training_gs_decide_mask", False):
+                # mask still from the frozen baseline (reference :510-513)
+                _, alpha, _ = (self.frozen_mask or self.frozen).render_many(
+                    w2cs, self.intrinsic, self.H, self.W
+                )
+        else:
+            rgb, alpha, depth = self.frozen.render_many(
+                w2cs, self.intrinsic, self.H, self.W
+            )
+            if self.frozen_mask is not None:
+                # two-renderer variant: mask alpha from the second model
+                _, alpha, _ = self.frozen_mask.render_many(
+                    w2cs, self.intrinsic, self.H, self.W
+                )
         gs_rgb = jnp.clip(rgb, 0, 1)  # (T, 3, H, W)
         gs_alpha = (jnp.clip(alpha, 0, 1) < 0.9).astype(jnp.float32)[:, None]  # (T,1,H,W)
         gs_depth = depth[:, None]
@@ -934,17 +1006,31 @@ class GuidedTrainer(BaselineTrainer):
                 if event_dir and getattr(self.opt, "save_pred_x0", False)
                 else None
             )
-        video = self.engine.generate(
-            pc_renders, gs_rgb, 1.0 - gs_alpha, gs_depth, k,
-            no_guidance=getattr(self.opt, "no_guidance", False),
-            scale_guidance_weight=sw,
-        )  # (T, 3, engine_H, engine_W) [0, 1]
-        # resize the generated video back to train resolution before it
-        # becomes pseudo ground-truth (reference train_guidedvd.py:557-559)
-        if video.shape[2] != self.H or video.shape[3] != self.W:
-            video = jax.image.resize(
-                video, (video.shape[0], 3, self.H, self.W), "bilinear"
-            )
+        import os as _os
+
+        vf = (
+            self._video_file_path()
+            if getattr(self.opt, "guidance_videos_from_file", False)
+            else None
+        )
+        if vf is not None and _os.path.exists(vf):
+            # reuse a previously generated video instead of sampling
+            # (reference --guidance_videos_from_file: setup_diffusion off,
+            # train_guidedvd.py:100; stored at train res already)
+            video = jnp.asarray(np.load(vf)["video"])
+            print(f"  [event it{iteration}] video from file {vf}", flush=True)
+        else:
+            video = self.engine.generate(
+                pc_renders, gs_rgb, 1.0 - gs_alpha, gs_depth, k,
+                no_guidance=getattr(self.opt, "no_guidance", False),
+                scale_guidance_weight=sw,
+            )  # (T, 3, engine_H, engine_W) [0, 1]
+            # resize the generated video back to train resolution before it
+            # becomes pseudo ground-truth (reference train_guidedvd.py:557-559)
+            if video.shape[2] != self.H or video.shape[3] != self.W:
+                video = jax.image.resize(
+                    video, (video.shape[0], 3, self.H, self.W), "bilinear"
+                )
         _t_gen = _time.time() - _t
         print(
             f"  [event it{iteration}] pc_render {_t_pc:.1f}s "
@@ -962,7 +1048,8 @@ class GuidedTrainer(BaselineTrainer):
         ph["frozen"] += _t_frozen
         ph["artifacts"] += _t_art
         ph["generate"] += _t_gen
-        return (iteration, view, traj, video, gs_alpha, gs_depth, event_dir)
+        return (iteration, view, traj, video, gs_alpha, gs_depth, event_dir,
+                getattr(self, "_cur_video_key", None))
 
     # -- device-resident pseudo pool (chunked trainer) ------------------------
 
@@ -1017,7 +1104,8 @@ class GuidedTrainer(BaselineTrainer):
     def finalize_diffusion_event(self, pending):
         """Materialize a submitted event's video and rebuild the pseudo
         stacks (reference train_guidedvd.py:557-636)."""
-        iteration, view, traj, video, gs_alpha, gs_depth, event_dir = pending
+        (iteration, view, traj, video, gs_alpha, gs_depth, event_dir,
+         video_key) = pending
         video_dev = video
         video = np.asarray(video)
 
@@ -1025,10 +1113,18 @@ class GuidedTrainer(BaselineTrainer):
             from guidedvd3dgs_tpu.utils.video import save_video
 
             save_video(np.transpose(video, (0, 2, 3, 1)), f"{event_dir}/diffusion0.mp4")
-            if getattr(self.opt, "guidance_save_videos", False):
-                # raw pseudo-GT tensor per event (reference .pth video_files,
-                # train_guidedvd.py:561-566) — npz, no pickle
-                np.savez_compressed(f"{event_dir}/video_view{view}.npz", video=video)
+        if getattr(self.opt, "guidance_save_videos", False):
+            # raw pseudo-GT tensor in the reference's video_files_scale
+            # layout (train_guidedvd.py:561-566) — npz, no pickle; readable
+            # back by --guidance_videos_from_file
+            vf = self._video_file_path(video_key)
+            if vf is None and event_dir:
+                vf = f"{event_dir}/video_view{view}.npz"
+            if vf:
+                import os as _os
+
+                _os.makedirs(_os.path.dirname(vf), exist_ok=True)
+                np.savez_compressed(vf, video=video)
 
         if (
             getattr(self.opt, "append_pcd_from_video_diffusion", False)

@@ -110,3 +110,60 @@ def test_loss_guidance_masked_l2():
     expect = 0.5 * 0.25 * (h // 2) * w * 3
     np.testing.assert_allclose(float(loss), expect, rtol=1e-6)
     assert float(numel) == (h // 2) * w * 3
+
+
+def test_visible_points_mask_occlusion():
+    """Single-view visibility (reference pc_render_single_view role): a point
+    hidden behind another from the source view is excluded, so it cannot
+    appear when the trajectory moves sideways."""
+    import jax.numpy as jnp
+
+    from guidedvd3dgs_tpu.ops.point_splat import (
+        splat_points_world,
+        visible_points_mask,
+    )
+
+    K = np.array([[32.0, 0, 16], [0, 32.0, 16], [0, 0, 1]])
+    w2c = np.eye(4)
+    # front point at z=2 and a hidden point directly behind it at z=4;
+    # a third point visible off to the side
+    pts = jnp.asarray([[0.0, 0.0, 2.0], [0.0, 0.0, 4.0], [0.3, 0.0, 2.0]])
+    cols = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+
+    vis = visible_points_mask(pts, jnp.asarray(w2c), jnp.asarray(K), 32, 32)
+    assert bool(vis[0]) and not bool(vis[1]) and bool(vis[2])
+
+    # sideways camera: without the mask the occluded green point appears
+    side = np.eye(4)
+    side[0, 3] = -1.5  # shift right in camera x -> sees "around" the front pt
+    out_all = splat_points_world(pts, cols, jnp.asarray(side), jnp.asarray(K),
+                                 32, 32)
+    out_vis = splat_points_world(pts, cols, jnp.asarray(side), jnp.asarray(K),
+                                 32, 32, point_mask=vis)
+    green_all = float((out_all.image[..., 1] > 0.5).sum())
+    green_vis = float((out_vis.image[..., 1] > 0.5).sum())
+    assert green_all > 0 and green_vis == 0
+
+
+def test_guidance_recon_loss_l1_vs_l2():
+    """recon_loss flag switches the guidance penalty (reference ctor arg
+    viewcrafter_wrapper.py:53): |d-g| vs (d-g)^2 under the same mask."""
+    import jax.numpy as jnp
+
+    from guidedvd3dgs_tpu.guidance.loss_guidance import (
+        GuidanceBuffers,
+        make_guidance_fn,
+    )
+
+    g = jnp.zeros((1, 8, 8, 3)) + 0.25
+    buffers = GuidanceBuffers(images=g, masks=None, depths=None)
+    frame = jnp.zeros((8, 8, 3)) - 1.0  # decodes to 0.0 -> diff 0.25
+
+    l2, n2 = make_guidance_fn(buffers, w_recon=1.0)(frame, 0, 0)
+    l1, n1 = make_guidance_fn(buffers, w_recon=1.0, recon_loss="l1")(frame, 0, 0)
+    np.testing.assert_allclose(float(l2), 0.25 ** 2 * 8 * 8 * 3, rtol=1e-5)
+    np.testing.assert_allclose(float(l1), 0.25 * 8 * 8 * 3, rtol=1e-5)
+    assert float(n1) == float(n2) == 8 * 8 * 3
+
+    with pytest.raises(ValueError):
+        make_guidance_fn(buffers, recon_loss="huber")

@@ -250,3 +250,51 @@ def test_guided_checkpoint_resume_exact(tmp_path):
     assert [c.pool_slot for c in b.pseudo_stack_alltime] == [
         c.pool_slot for c in a.pseudo_stack_alltime
     ]
+
+
+def test_video_files_store_and_reuse(tmp_path):
+    """guidance_save_videos writes the reference video_files_scale layout
+    (train_guidedvd.py:562-566) and --guidance_videos_from_file reuses the
+    stored video instead of calling the engine."""
+    trainer, _ = _setup()
+    trainer.model_params.model_path = str(tmp_path)
+    trainer.opt.guidance_save_videos = True
+    trainer.init_trajectory_pool()
+    trainer.run_diffusion_event(1)
+
+    import glob
+
+    files = glob.glob(str(tmp_path / "video_files_scale*" / "*" / "*.npz"))
+    assert len(files) == 1, files
+    saved = np.load(files[0])["video"]
+    assert saved.shape == (5, 3, trainer.H, trainer.W)
+
+    # reuse: re-seed the shuffle with the SAME entry, break the engine, and
+    # expect the stored video to be used verbatim
+    key = trainer._cur_video_key
+    sidx, view, cidx = key
+    entry = next(e for e in trainer.trajectory_pool[view] if e.cand_idx == cidx
+                 and e.scale_idx == sidx)
+    trainer.trajectory_pool_shuffle[view] = [entry]
+    trainer.vd_indices = [view]
+    trainer.opt.guidance_videos_from_file = True
+    trainer.engine.generate = None  # would raise if called
+    trainer.run_diffusion_event(261)
+    pg = np.asarray(trainer.pseudo_stack[0].pseudo_gt)
+    np.testing.assert_allclose(pg, saved[1], atol=1e-6)
+
+
+def test_guidance_with_training_gs_renders_current_state(tmp_path):
+    """guidance_with_training_gs >= startiter renders guidance rgb from the
+    CURRENT training gaussians (reference train_guidedvd.py:493-517); the
+    mask still comes from the frozen baseline unless decide_mask."""
+    trainer, _ = _setup()
+    trainer.opt.guidance_with_training_gs = True
+    trainer.opt.guidance_with_training_gs_startiter = 0
+    trainer.init_trajectory_pool()
+    trainer.run_diffusion_event(1)
+    assert trainer.events_run == 1
+    assert len(trainer.pseudo_stack) == 4
+    assert trainer._live_renderer is not None
+    # live renderer must follow the training state object
+    assert trainer._live_renderer.state is trainer.state

@@ -56,7 +56,8 @@ def main():
     save_cfg_args(dataset.model_path, args)
 
     scene = Scene(dataset)
-    state = scene.create_gaussians(max_sh_degree=dataset.sh_degree)
+    state = scene.create_gaussians(capacity=getattr(opt, "gaussian_capacity", 0),
+                                   max_sh_degree=dataset.sh_degree)
     first_iter = 0
     if args.start_checkpoint:
         state, first_iter = load_checkpoint(args.start_checkpoint, state)

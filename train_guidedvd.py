@@ -54,12 +54,21 @@ def build_engine(args, opt, height, width):
         mcfg = LatentDiffusionConfig()
         scfg = SynthesisConfig(ddim_steps=opt.guidance_ddim_steps)
         # diffusion runs at 320 x (448 | 512): 576-base resize convention
-        # (reference viewcrafter_wrapper.py:251-281 hard_code_vc_opts)
-        d_w = 448 if abs(width / height - 1.4) < 0.2 else 512
+        # (reference viewcrafter_wrapper.py:251-281 hard_code_vc_opts);
+        # --scannetpp_newres forces 512 (reference train_guidedvd.py:97-98)
+        if getattr(opt, "scannetpp_newres", False):
+            d_w = 512
+        else:
+            d_w = 448 if abs(width / height - 1.4) < 0.2 else 512
+        if getattr(opt, "guidance_mean_loss", False):
+            # reference viewcrafter_wrapper.py:86 asserts this off
+            raise ValueError("guidance_mean_loss must stay False "
+                             "(reference LossGuidance asserts it)")
         return ViewCrafterEngine(
             params, mcfg, scfg,
             guided_cfg=GuidedSampleConfig(recur_steps=opt.guidance_recur_steps),
             video_length=25, height=320, width=d_w, device=device,
+            recon_loss=opt.guidance_recon_loss,
         )
     if args.oracle_gt_npz:
         from guidedvd3dgs_tpu.train.guided import OracleDiffusionEngine
@@ -145,7 +154,8 @@ def main():
     # init from the BASELINE snapshot like the reference guided trainer
     # (train_guidedvd.py loads the baseline ply through EasyRenderer and
     # trains a fresh model from the same DUSt3R init)
-    state = scene.create_gaussians(max_sh_degree=dataset.sh_degree)
+    state = scene.create_gaussians(capacity=getattr(opt, "gaussian_capacity", 0),
+                                   max_sh_degree=dataset.sh_degree)
 
     import dataclasses
 
@@ -186,6 +196,8 @@ def main():
             )
     if hasattr(engine, "ssim_guidance"):
         engine.ssim_guidance = getattr(opt, "guidance_with_ssim", False)
+    if hasattr(engine, "verbose"):
+        engine.verbose = getattr(opt, "guidance_verbose", False)
     if hasattr(engine, "w_recon"):
         engine.w_recon = opt.w_guidance_recon_loss
     if hasattr(engine, "scale_weight_mode"):

@@ -53,7 +53,8 @@ def main():
 
     scene = Scene(dataset, replica_use_project_cam=True,
                   projected_dir=args.projected_dir)
-    state = scene.create_gaussians(max_sh_degree=dataset.sh_degree)
+    state = scene.create_gaussians(capacity=getattr(opt, "gaussian_capacity", 0),
+                                   max_sh_degree=dataset.sh_degree)
 
     trainer = ProjectCamTrainer(scene, state, opt, pipe, dataset)
     trainer.attach_logger(MetricsLogger(dataset.model_path))
