@@ -283,6 +283,14 @@ class BaselineTrainer:
             self.viewpoint_stack = list(self.scene.getTrainCameras())
         return self.viewpoint_stack.pop(self.rng.randint(0, len(self.viewpoint_stack) - 1))
 
+    def write_checkpoint(self, path: str, iteration: int) -> None:
+        """Checkpoint hook — GuidedTrainer overrides with the guided
+        (pool/RNG-carrying) variant so both train paths stay resumable."""
+        from guidedvd3dgs_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.state, iteration)
+        print(f"[ITER {iteration}] saved checkpoint {path}")
+
     def maybe_grow(self):
         n = int(self.state.num_active())
         cap = self.state.capacity
@@ -550,11 +558,7 @@ class BaselineTrainer:
             if it1 in saving_iterations:
                 self.scene.save(it1, self.state)
             if it1 in checkpoint_iterations and checkpoint_dir:
-                from guidedvd3dgs_tpu.train.checkpoint import save_checkpoint
-
-                path = f"{checkpoint_dir}/chkpnt{it1}.ckpt"
-                save_checkpoint(path, self.state, it1)
-                print(f"[ITER {it1}] saved checkpoint {path}")
+                self.write_checkpoint(f"{checkpoint_dir}/chkpnt{it1}.ckpt", it1)
             it0 = it1
         return self.state
 
@@ -617,9 +621,5 @@ class BaselineTrainer:
             if it in saving_iterations:
                 self.scene.save(it, self.state)
             if it in checkpoint_iterations and checkpoint_dir:
-                from guidedvd3dgs_tpu.train.checkpoint import save_checkpoint
-
-                path = f"{checkpoint_dir}/chkpnt{it}.ckpt"
-                save_checkpoint(path, self.state, it)
-                print(f"[ITER {it}] saved checkpoint {path}")
+                self.write_checkpoint(f"{checkpoint_dir}/chkpnt{it}.ckpt", it)
         return self.state

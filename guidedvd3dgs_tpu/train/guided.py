@@ -1292,6 +1292,25 @@ class GuidedTrainer(BaselineTrainer):
             self._pending_event = None
         return out
 
+    def write_checkpoint(self, path: str, iteration: int) -> None:
+        """Guided variant of the checkpoint hook: persists the pseudo pool,
+        trajectory pool, and RNG streams next to the GaussianState. The
+        per-step path lacks the device pool — fall back to the plain state
+        checkpoint there (resume then rebuilds pools like the reference
+        restarts would, but with exact gaussians+Adam)."""
+        # flush the in-flight event first so the pseudo pool in the
+        # checkpoint reflects everything generated up to this iteration
+        if self._pending_event is not None:
+            self.finalize_diffusion_event(self._pending_event)
+            self._pending_event = None
+        if getattr(self, "_pool_gts", None) is None:
+            super().write_checkpoint(path, iteration)
+            return
+        from guidedvd3dgs_tpu.train.guided_checkpoint import save_guided_checkpoint
+
+        save_guided_checkpoint(path, self, iteration)
+        print(f"[ITER {iteration}] saved guided checkpoint {path}")
+
     def train_scan(
         self,
         iterations=None,
@@ -1477,18 +1496,7 @@ class GuidedTrainer(BaselineTrainer):
             if it1 in saving_iterations:
                 self.scene.save(it1, self.state)
             if it1 in checkpoint_iterations and checkpoint_dir:
-                from guidedvd3dgs_tpu.train.guided_checkpoint import (
-                    save_guided_checkpoint,
-                )
-
-                # flush the in-flight event first so the pseudo pool in the
-                # checkpoint reflects everything generated up to it1
-                if self._pending_event is not None:
-                    self.finalize_diffusion_event(self._pending_event)
-                    self._pending_event = None
-                path = f"{checkpoint_dir}/chkpnt{it1}.ckpt"
-                save_guided_checkpoint(path, self, it1)
-                print(f"[ITER {it1}] saved guided checkpoint {path}")
+                self.write_checkpoint(f"{checkpoint_dir}/chkpnt{it1}.ckpt", it1)
             it0 = it1
 
         if self._pending_event is not None:

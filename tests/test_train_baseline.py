@@ -102,3 +102,25 @@ def test_baseline_training_improves_psnr():
     act = np.asarray(trainer.state.active)
     n = act.sum()
     assert act[:n].all()
+
+
+def test_write_checkpoint_hook_roundtrip(tmp_path):
+    """BaselineTrainer.write_checkpoint (the hook GuidedTrainer overrides)
+    writes a load_checkpoint-compatible file."""
+    from guidedvd3dgs_tpu.train.checkpoint import load_checkpoint
+
+    cams = make_synthetic()
+    rng = np.random.default_rng(7)
+    pts = rng.normal(scale=1.2, size=(32, 3)).astype(np.float32)
+    cols = rng.uniform(size=(32, 3)).astype(np.float32)
+    state = G.create_from_pcd(pts, cols, capacity=64)
+    scene = FakeScene(cams, extent=3.0)
+    trainer = BaselineTrainer(scene, state, FakeOpt(), FakePipe(), FakeModelParams())
+
+    path = str(tmp_path / "chkpnt7.ckpt")
+    trainer.write_checkpoint(path, 7)
+    restored, it = load_checkpoint(path, trainer.state)
+    assert it == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored.params.xyz), np.asarray(trainer.state.params.xyz)
+    )
