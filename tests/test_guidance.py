@@ -167,3 +167,44 @@ def test_guidance_recon_loss_l1_vs_l2():
 
     with pytest.raises(ValueError):
         make_guidance_fn(buffers, recon_loss="huber")
+
+
+def test_augment_ply_with_depth_tool(tmp_path):
+    """Offline ply augmentation (reference inpainted_depth_to_pointcloud.py
+    __main__ role): masked inpainted depth unprojects to the expected world
+    points and is appended to the base ply."""
+    from PIL import Image
+
+    from guidedvd3dgs_tpu.scene.ply import fetch_ply, store_ply
+    from tools.augment_ply_with_depth import augment
+
+    sparse = tmp_path / "sparse"
+    sparse.mkdir()
+    (sparse / "cameras.txt").write_text("1 PINHOLE 16 16 10 10 8 8\n")
+    # identity pose camera at origin
+    (sparse / "images.txt").write_text("1 1 0 0 0 0 0 0 1 frame_0.png\n\n")
+
+    base_ply = tmp_path / "points3D.ply"
+    store_ply(str(base_ply), np.zeros((4, 3)), np.full((4, 3), 128, np.uint8))
+
+    rgb_d, dep_d, msk_d = tmp_path / "rgb", tmp_path / "dep", tmp_path / "msk"
+    for d in (rgb_d, dep_d, msk_d):
+        d.mkdir()
+    depth = np.full((16, 16), 2.0, np.float32)
+    np.save(dep_d / "frame_0.npy", depth)
+    mask = np.zeros((16, 16), np.uint8)
+    mask[8, 8] = 255  # principal point
+    mask[8, 13] = 255  # u=13 -> x=(13-8)*2/10=1.0
+    Image.fromarray(mask).save(msk_d / "frame_0.png")
+    Image.fromarray(np.full((16, 16, 3), 255, np.uint8)).save(rgb_d / "frame_0.png")
+
+    out = tmp_path / "out.ply"
+    n = augment(str(base_ply), str(sparse), str(rgb_d), str(dep_d),
+                str(msk_d), str(out), every=1, stride=1)
+    assert n == 6
+    res = fetch_ply(str(out))
+    added = np.asarray(res.points[4:])
+    expect = {(0.0, 0.0, 2.0), (1.0, 0.0, 2.0)}
+    got = {tuple(np.round(p, 6)) for p in added}
+    assert got == expect, got
+    np.testing.assert_allclose(res.colors[4:], 1.0, atol=1 / 255.0 + 1e-6)
