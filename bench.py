@@ -167,8 +167,28 @@ def bench():
     return ms, detail
 
 
+def _probe_backend(timeout_s: int = 300) -> bool:
+    """Bounded backend-init probe in a subprocess: the axon TPU tunnel can be
+    UNAVAILABLE for hours, and jax.devices() then hangs far longer than any
+    driver timeout — fail fast with a JSON line instead."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     try:
+        if not _probe_backend(int(os.environ.get("GVD_BENCH_PROBE_S", "300"))):
+            raise RuntimeError(
+                "backend init probe failed/timed out (TPU tunnel down?)"
+            )
         ms, detail = bench()
         with open(DETAIL_PATH, "w") as f:
             json.dump(detail, f, indent=1)
