@@ -16,6 +16,7 @@ conditioning data for the diffusion model, never gradients.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -102,6 +103,9 @@ def splat_points(
     )
 
 
+@partial(
+    jax.jit, static_argnames=("height", "width", "radius_ndc", "tol", "near")
+)
 def visible_points_mask(
     points_world: jnp.ndarray,  # (N, 3)
     w2c: jnp.ndarray,  # (4, 4)

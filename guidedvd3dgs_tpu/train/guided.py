@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import copy
 import random
+import time
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable, Dict, List, Optional, Protocol, Tuple
@@ -332,7 +333,14 @@ class ViewCrafterEngine:
                 f"guided={guidance_fn is not None} sw={scale_guidance_weight}",
                 flush=True,
             )
-        want_trace = bool(self.save_pred_x0_dir) and guidance_fn is not None
+        # the multicond sampler has no trace output (synthesis routes
+        # guidance_fn is None OR multiple_cond_cfg to samplers that return
+        # trace=None)
+        want_trace = (
+            bool(self.save_pred_x0_dir)
+            and guidance_fn is not None
+            and not self.scfg.multiple_cond_cfg
+        )
         frames = image_guided_synthesis(
             self.params, self.mcfg, self.scfg, video, rng,
             guidance_fn=guidance_fn, guided_cfg=self.guided_cfg,
@@ -341,7 +349,8 @@ class ViewCrafterEngine:
         )
         if want_trace:
             frames, trace = frames
-            self._save_pred_x0_videos(trace)
+            if trace is not None:
+                self._save_pred_x0_videos(trace)
         return jnp.transpose(jnp.clip((frames + 1.0) / 2.0, 0.0, 1.0), (0, 3, 1, 2))
 
     def _save_pred_x0_videos(self, trace):
@@ -851,12 +860,19 @@ class GuidedTrainer(BaselineTrainer):
         w2cs = np.stack([np.linalg.inv(c) for c in traj_c2ws]).astype(np.float32)
         visible = None
         if not getattr(self.opt, "guidance_pc_render_all_views", False):
-            from guidedvd3dgs_tpu.ops.point_splat import visible_points_mask
+            # the mask depends only on (pcd, source view): compute once per
+            # view (jitted, one dispatch) and reuse across events
+            cache = getattr(self, "_vis_mask_cache", None)
+            if cache is None:
+                cache = self._vis_mask_cache = {}
+            visible = cache.get(view_idx)
+            if visible is None:
+                from guidedvd3dgs_tpu.ops.point_splat import visible_points_mask
 
-            visible = visible_points_mask(
-                self.pcd_points, jnp.asarray(w2cs[0]),
-                jnp.asarray(self.intrinsic, jnp.float32), self.H, self.W,
-            )
+                visible = cache[view_idx] = visible_points_mask(
+                    self.pcd_points, jnp.asarray(w2cs[0]),
+                    jnp.asarray(self.intrinsic, jnp.float32), self.H, self.W,
+                )
         frames = _splat_along(
             self.pcd_points, self.pcd_colors, jnp.asarray(w2cs),
             jnp.asarray(self.intrinsic, jnp.float32), self.H, self.W,
@@ -1285,11 +1301,24 @@ class GuidedTrainer(BaselineTrainer):
         )
 
     def train(self, *args, **kwargs):
+        t0 = time.time()
         out = super().train(*args, **kwargs)
         # drain a still-pending pipelined event so its artifacts land
         if self._pending_event is not None:
             self.finalize_diffusion_event(self._pending_event)
             self._pending_event = None
+        # per-step path: events are timed by phase (event_phase_s); the rest
+        # is host-interleaved step time — coarser than the scan path's
+        # device-dispatch split, but enough for tools/project_wallclock.py
+        total_s = time.time() - t0
+        event_s = sum(getattr(self, "event_phase_s", {}).values())
+        iters = kwargs.get("iterations") or (args[0] if args else None) \
+            or self.opt.iterations
+        start = kwargs.get("start_iteration", 0)
+        self._write_timing_summary(
+            iters, start, total_s, total_s - event_s, event_s,
+            self.events_run,
+        )
         return out
 
     def write_checkpoint(self, path: str, iteration: int) -> None:
@@ -1297,7 +1326,13 @@ class GuidedTrainer(BaselineTrainer):
         trajectory pool, and RNG streams next to the GaussianState. The
         per-step path lacks the device pool — fall back to the plain state
         checkpoint there (resume then rebuilds pools like the reference
-        restarts would, but with exact gaussians+Adam)."""
+        restarts would, but with exact gaussians+Adam).
+
+        Note: with pipeline_guidance on, flushing the in-flight event here
+        materializes it one boundary early, so a checkpointed run's sample
+        stream diverges from the same run without --checkpoint_iterations
+        (resume-vs-checkpointed remains bit-exact — that is the invariant
+        the roundtrip test asserts)."""
         # flush the in-flight event first so the pseudo pool in the
         # checkpoint reflects everything generated up to this iteration
         if self._pending_event is not None:

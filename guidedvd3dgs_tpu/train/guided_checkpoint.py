@@ -131,9 +131,14 @@ def save_guided_checkpoint(path: str, trainer, iteration: int) -> None:
         "rng_py": [py_state[0], list(py_state[1]), py_state[2]],
         "idx_stack": list(getattr(trainer, "_idx_stack", []) or []),
         "pool_index": pool_index,
+        # every pool view, including those whose candidate list is empty —
+        # submit_diffusion_event indexes trainer.trajectory_pool[view]
+        # directly, so empty views must survive the roundtrip
+        "pool_views": [int(v) for v in trainer.trajectory_pool],
         "shuffle": shuffle,
         "H": int(trainer.H),
         "W": int(trainer.W),
+        "video_length": int(trainer.engine.video_length),
     }
     arrays["__sidecar__"] = np.frombuffer(
         json.dumps(sidecar).encode(), dtype=np.uint8
@@ -180,11 +185,25 @@ def load_guided_checkpoint(path: str, trainer) -> int:
     """Restore trainer state in place from save_guided_checkpoint output.
     Returns the checkpointed iteration. The trainer must be freshly
     constructed with the same scene/opt/engine configuration; its trajectory
-    pool is REPLACED by the checkpointed one (no re-rendering)."""
+    pool is REPLACED by the checkpointed one (no re-rendering).
+
+    A plain (pool-less) checkpoint — written by the per-step train path,
+    which has no device pseudo pool — is also accepted: the GaussianState
+    and iteration are restored exactly and the trajectory pool is rebuilt
+    by rendering, like a fresh start (the reference restarts lose even the
+    gaussians)."""
+    import os
+
     from guidedvd3dgs_tpu.train.checkpoint import load_checkpoint
     from guidedvd3dgs_tpu.train.guided import TrajEntry
 
     trainer.state, iteration = load_checkpoint(path, trainer.state)
+
+    if not os.path.exists(path + ".guided.npz"):
+        print(f"[resume] {path}: plain checkpoint (no .guided.npz) — "
+              "rebuilding the trajectory pool")
+        trainer.init_trajectory_pool()
+        return iteration
 
     data = np.load(path + ".guided.npz")
     sidecar = json.loads(bytes(data["__sidecar__"]).decode())
@@ -192,6 +211,13 @@ def load_guided_checkpoint(path: str, trainer) -> int:
         raise ValueError(
             f"checkpoint resolution {sidecar['H']}x{sidecar['W']} != "
             f"trainer {trainer.H}x{trainer.W}"
+        )
+    ck_T = sidecar.get("video_length")
+    if ck_T is not None and int(ck_T) != trainer.engine.video_length:
+        raise ValueError(
+            f"checkpoint video_length {ck_T} != engine "
+            f"{trainer.engine.video_length}: the pseudo-pool slot layout "
+            "depends on it; resume with the original engine config"
         )
 
     pool_gts = data["pool_gts"]
@@ -245,6 +271,10 @@ def load_guided_checkpoint(path: str, trainer) -> int:
     trainer.trajectory_pool = {
         v: [d[i] for i in sorted(d)] for v, d in pool.items()
     }
+    # views whose candidate list was empty have no pool_index records but
+    # must exist: submit_diffusion_event indexes trajectory_pool[view]
+    for v in sidecar.get("pool_views", []):
+        trainer.trajectory_pool.setdefault(int(v), [])
     trainer.trajectory_pool_shuffle = {
         int(v): [trainer.trajectory_pool[int(v)][i] for i in idxs]
         for v, idxs in sidecar["shuffle"].items()

@@ -238,7 +238,8 @@ def test_guided_checkpoint_resume_exact(tmp_path):
     b, _ = _setup()
     it = load_guided_checkpoint(ck, b)
     assert it == 80
-    assert b.events_run == a.events_run or b.events_run <= a.events_run
+    # events up to iter 80 (at 1 and 41) must be in the checkpoint
+    assert b.events_run == 2
     b.train_scan(iterations=120, log_every=0, start_iteration=it,
                  alltime_cap=16)
 
@@ -298,3 +299,53 @@ def test_guidance_with_training_gs_renders_current_state(tmp_path):
     assert trainer._live_renderer is not None
     # live renderer must follow the training state object
     assert trainer._live_renderer.state is trainer.state
+
+
+def test_guided_checkpoint_empty_view_and_plain_fallback(tmp_path):
+    """Views with empty candidate lists survive the checkpoint roundtrip
+    (submit_diffusion_event indexes trajectory_pool[view] directly), and a
+    plain pool-less checkpoint (per-step path) resumes by rebuilding the
+    trajectory pool instead of crashing on the missing sidecar."""
+    from guidedvd3dgs_tpu.train.checkpoint import save_checkpoint
+    from guidedvd3dgs_tpu.train.guided_checkpoint import (
+        load_guided_checkpoint,
+        save_guided_checkpoint,
+    )
+
+    a, _ = _setup()
+    a.init_trajectory_pool()
+    a._init_pseudo_pool(8)
+    a.trajectory_pool[0] = []           # view with no surviving candidates
+    a.trajectory_pool_shuffle[0] = []
+    ck = str(tmp_path / "c.ckpt")
+    save_guided_checkpoint(ck, a, 42)
+
+    b, _ = _setup()
+    assert load_guided_checkpoint(ck, b) == 42
+    assert b.trajectory_pool[0] == []
+    assert set(b.trajectory_pool) == set(a.trajectory_pool)
+
+    # plain fallback: no .guided.npz sidecar
+    ck2 = str(tmp_path / "plain.ckpt")
+    save_checkpoint(ck2, a.state, 17)
+    c, _ = _setup()
+    assert load_guided_checkpoint(ck2, c) == 17
+    assert set(c.trajectory_pool) == {0, 1, 2}  # rebuilt by rendering
+
+
+def test_checkpoint_video_length_mismatch_rejected(tmp_path):
+    from guidedvd3dgs_tpu.train.guided_checkpoint import (
+        load_guided_checkpoint,
+        save_guided_checkpoint,
+    )
+
+    a, _ = _setup()
+    a.init_trajectory_pool()
+    a._init_pseudo_pool(8)
+    ck = str(tmp_path / "c.ckpt")
+    save_guided_checkpoint(ck, a, 1)
+
+    b, _ = _setup()
+    b.engine.video_length = 3  # pool slot layout depends on T
+    with pytest.raises(ValueError, match="video_length"):
+        load_guided_checkpoint(ck, b)
