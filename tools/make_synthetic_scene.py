@@ -139,6 +139,8 @@ def main():
     ap.add_argument("--n_train", type=int, default=6)
     ap.add_argument("--fov_deg", type=float, default=70.0)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--backend", type=str, default="tiles",
+                    help="rasterizer for GT renders (dense for CPU-sized scenes)")
     args = ap.parse_args()
 
     import jax
@@ -182,7 +184,7 @@ def main():
             cam,
             jnp.zeros((3,), jnp.float32),
             sh_degree=3,
-            backend="tiles",
+            backend=args.backend,
         )
         return jnp.clip(out.color, 0.0, 1.0)
 
