@@ -383,6 +383,15 @@ class TrajEntry:
     transform_back: np.ndarray  # (4, 4)
 
 
+def select_topk_candidates(areas: np.ndarray, mask_thresh: float, top_k: int) -> np.ndarray:
+    """Pose-candidate selection rule (reference train_guidedvd.py:175-179):
+    drop candidates whose unobserved-pixel count is >= 0.1*H*W, then keep the
+    top_k LARGEST remaining areas (descending), preserving that order."""
+    ok = np.nonzero(areas < mask_thresh)[0]
+    order = np.argsort(-areas[ok], kind="stable")[:top_k]
+    return ok[order]
+
+
 def build_trajectory_pool(
     frozen: FrozenRenderer,
     train_c2ws: np.ndarray,  # (V, 4, 4)
@@ -424,9 +433,7 @@ def build_trajectory_pool(
                 alphas
             )
             areas = np.asarray(unobs.sum(axis=(1, 2)))
-            ok = np.nonzero(areas < mask_thresh)[0]
-            order = np.argsort(-areas[ok])[:top_k]
-            for j in ok[order]:
+            for j in select_topk_candidates(areas, mask_thresh, top_k):
                 ph, th, dr = offsets[j]
                 traj = pm.interpolate_trajectory(obj_poses, ph, th, dr, frames=video_length)
                 traj = back[None] @ traj

@@ -349,3 +349,28 @@ def test_checkpoint_video_length_mismatch_rejected(tmp_path):
     b.engine.video_length = 3  # pool slot layout depends on T
     with pytest.raises(ValueError, match="video_length"):
         load_guided_checkpoint(ck, b)
+
+
+def test_topk_candidate_selection_matches_reference_rule():
+    """Side-by-side fixture for the reference's selection (train_guidedvd.py:
+    175-179): torch.argsort(mask_regions[filtered], descending=True)[:top_k]
+    over filtered = (mask_regions < thresh).nonzero() -- i.e. the LARGEST
+    unobserved areas strictly below the threshold, in descending order."""
+    import numpy as np
+    import torch
+
+    from guidedvd3dgs_tpu.train.guided import select_topk_candidates
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        areas = rng.integers(0, 1000, size=12).astype(np.float32)
+        thresh = float(rng.integers(100, 900))
+        top_k = int(rng.integers(1, 4))
+
+        mask_regions = torch.from_numpy(areas)
+        filtered = (mask_regions < thresh).nonzero(as_tuple=True)[0]
+        sorted_idx = torch.argsort(mask_regions[filtered], descending=True)[:top_k]
+        ref = filtered[sorted_idx].numpy()
+
+        ours = select_topk_candidates(areas, thresh, top_k)
+        np.testing.assert_array_equal(ours, ref)
