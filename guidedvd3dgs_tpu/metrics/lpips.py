@@ -1,4 +1,4 @@
-"""LPIPS (alex / vgg16) — functional JAX rebuild.
+"""LPIPS (alex / vgg16 / squeeze) — functional JAX rebuild.
 
 Equivalent of the reference lpipsPyTorch
 (reference: lpipsPyTorch/modules/lpips.py:8-36, networks.py:36-96,
@@ -74,6 +74,48 @@ def _alex_features(p: Params, x: jnp.ndarray) -> List[jnp.ndarray]:
     return feats
 
 
+def _maxpool_ceil(x, k=3, s=2):
+    """torch MaxPool2d(ceil_mode=True): right/bottom -inf padding so the last
+    partial window counts."""
+    pads = []
+    for dim in (1, 2):
+        n = x.shape[dim]
+        out = -(-(n - k) // s) + 1  # ceil
+        pads.append(max(0, (out - 1) * s + k - n))
+    x = jnp.pad(x, ((0, 0), (0, pads[0]), (0, pads[1]), (0, 0)),
+                constant_values=-jnp.inf)
+    return _maxpool(x, k, s)
+
+
+def _fire(p: Params, idx: int, x: jnp.ndarray) -> jnp.ndarray:
+    """SqueezeNet Fire module (squeeze 1x1 -> relu -> expand 1x1 | 3x3 concat)."""
+    s = _relu(conv2d(p, f"{idx}.squeeze", x, padding=0))
+    e1 = _relu(conv2d(p, f"{idx}.expand1x1", s, padding=0))
+    e3 = _relu(conv2d(p, f"{idx}.expand3x3", s, padding=1))
+    return jnp.concatenate([e1, e3], axis=-1)
+
+
+def _squeeze_features(p: Params, x: jnp.ndarray) -> List[jnp.ndarray]:
+    """torchvision squeezenet1_1.features, LPIPS 7-slice taps (reference
+    networks.py:15-16,70 SqueezeNet; slices after layers 1,4,7,9,10,11,12;
+    channels 64,128,256,384,384,512,512)."""
+    feats = []
+    x = _relu(conv2d(p, "0", x, stride=2, padding=0))
+    feats.append(x)  # slice1: conv0 + relu
+    x = _maxpool_ceil(x)
+    x = _fire(p, 3, x)
+    feats.append(_fire(p, 4, x))  # slice2
+    x = _maxpool_ceil(feats[-1])
+    x = _fire(p, 6, x)
+    feats.append(_fire(p, 7, x))  # slice3
+    x = _maxpool_ceil(feats[-1])
+    feats.append(_fire(p, 9, x))  # slice4
+    feats.append(_fire(p, 10, feats[-1]))  # slice5
+    feats.append(_fire(p, 11, feats[-1]))  # slice6
+    feats.append(_fire(p, 12, feats[-1]))  # slice7
+    return feats
+
+
 def _vgg16_features(p: Params, x: jnp.ndarray) -> List[jnp.ndarray]:
     """torchvision vgg16.features taps at 4,9,16,23,30 (relu before each
     pool). Conv indices: block1 0,2; block2 5,7; block3 10,12,14;
@@ -91,9 +133,13 @@ def _vgg16_features(p: Params, x: jnp.ndarray) -> List[jnp.ndarray]:
     return feats
 
 
+_FEATURE_FNS = {"alex": _alex_features, "vgg": _vgg16_features,
+                "squeeze": _squeeze_features}
+
+
 @dataclass(frozen=True)
 class LPIPSModel:
-    net_type: str  # 'alex' | 'vgg'
+    net_type: str  # 'alex' | 'vgg' | 'squeeze'
     backbone: Params  # torchvision features.* (keys are bare indices)
     lin: Params  # {'0.weight': (1, C, 1, 1), ...}
 
@@ -108,7 +154,7 @@ def lpips_apply(model: LPIPSModel, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarra
     scale = jnp.asarray(SCALE).reshape(1, 1, 1, 3)
     xi = (jnp.transpose(x, (0, 2, 3, 1)) - shift) / scale
     yi = (jnp.transpose(y, (0, 2, 3, 1)) - shift) / scale
-    feat_fn = _alex_features if model.net_type == "alex" else _vgg16_features
+    feat_fn = _FEATURE_FNS[model.net_type]
     fx = feat_fn(model.backbone, xi)
     fy = feat_fn(model.backbone, yi)
     total = 0.0
@@ -133,7 +179,8 @@ def load_lpips(net_type: str = "alex", weights_dir: Optional[str] = None) -> Opt
     except Exception:
         return None
 
-    backbone_pat = "alexnet*" if net_type == "alex" else "vgg16*"
+    backbone_pat = {"alex": "alexnet*", "vgg": "vgg16*",
+                    "squeeze": "squeezenet*"}[net_type]
     lin_pat = f"*{net_type}*.pth"
     backbone_sd = lin_sd = None
     import torch

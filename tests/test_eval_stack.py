@@ -120,3 +120,122 @@ def test_plot_images_grid(tmp_path):
     assert img is not None
     # two rows of (h + 2*pad), n columns of (w + pad) + pad
     assert img.shape == (2 * (h + 4), n * (w + 2) + 2, 3)
+
+
+@pytest.mark.slow
+def test_lpips_squeeze_features_parity_vs_torch():
+    """_squeeze_features vs an executed plain-torch replica of torchvision
+    squeezenet1_1.features with the LPIPS 7-slice taps (reference
+    networks.py:15-16,70). Input 94x94 hits the ceil_mode maxpool rounding."""
+    import torch
+
+    from guidedvd3dgs_tpu.diffusion.convert import convert_state_dict
+    from guidedvd3dgs_tpu.metrics.lpips import _squeeze_features
+
+    torch.manual_seed(0)
+    net = _torch_squeezenet11_features()
+    backbone = convert_state_dict(dict(net.state_dict()))
+
+    x = torch.randn(2, 3, 94, 94)
+    slices = [(0, 2), (2, 5), (5, 8), (8, 10), (10, 11), (11, 12), (12, 13)]
+    with torch.no_grad():
+        feats_ref, h = [], x
+        for a, b in slices:
+            for i in range(a, b):
+                h = net[i](h)
+            feats_ref.append(h.numpy())
+
+    ours = _squeeze_features(backbone, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    assert len(ours) == 7
+    for o, r in zip(ours, feats_ref):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(o), (0, 3, 1, 2)), r, rtol=1e-4, atol=1e-5
+        )
+
+
+def _torch_squeezenet11_features():
+    """torchvision squeezenet1_1.features, replicated in plain torch with the
+    same child names / state-dict keys (torchvision is not in this image)."""
+    import torch
+    from torch import nn
+
+    class Fire(nn.Module):
+        def __init__(self, cin, s, e1, e3):
+            super().__init__()
+            self.squeeze = nn.Conv2d(cin, s, 1)
+            self.squeeze_activation = nn.ReLU(inplace=True)
+            self.expand1x1 = nn.Conv2d(s, e1, 1)
+            self.expand1x1_activation = nn.ReLU(inplace=True)
+            self.expand3x3 = nn.Conv2d(s, e3, 3, padding=1)
+            self.expand3x3_activation = nn.ReLU(inplace=True)
+
+        def forward(self, x):
+            x = self.squeeze_activation(self.squeeze(x))
+            return torch.cat([
+                self.expand1x1_activation(self.expand1x1(x)),
+                self.expand3x3_activation(self.expand3x3(x)),
+            ], 1)
+
+    return nn.Sequential(
+        nn.Conv2d(3, 64, kernel_size=3, stride=2),
+        nn.ReLU(inplace=True),
+        nn.MaxPool2d(kernel_size=3, stride=2, ceil_mode=True),
+        Fire(64, 16, 64, 64),
+        Fire(128, 16, 64, 64),
+        nn.MaxPool2d(kernel_size=3, stride=2, ceil_mode=True),
+        Fire(128, 32, 128, 128),
+        Fire(256, 32, 128, 128),
+        nn.MaxPool2d(kernel_size=3, stride=2, ceil_mode=True),
+        Fire(256, 48, 192, 192),
+        Fire(384, 48, 192, 192),
+        Fire(384, 64, 256, 256),
+        Fire(512, 64, 256, 256),
+    ).eval()
+
+
+@pytest.mark.slow
+def test_lpips_squeeze_distance_matches_torch_formula():
+    """Full lpips_apply on the squeeze backbone vs the reference formula
+    (lpips.py:24-36: z-score, unit-normalize, diff^2, 1x1 lin, spatial mean,
+    sum) executed in torch."""
+    import torch
+
+    from guidedvd3dgs_tpu.diffusion.convert import convert_state_dict
+    from guidedvd3dgs_tpu.metrics.lpips import SCALE, SHIFT
+
+    torch.manual_seed(1)
+    net = _torch_squeezenet11_features()
+    backbone = convert_state_dict(dict(net.state_dict()))
+    chans = [64, 128, 256, 384, 384, 512, 512]
+    lins = [torch.rand(1, c, 1, 1) * 0.05 for c in chans]
+    m = LPIPSModel(
+        net_type="squeeze", backbone=backbone,
+        lin={f"{i}.weight": jnp.asarray(w.numpy()) for i, w in enumerate(lins)},
+    )
+
+    x = torch.rand(2, 3, 64, 64) * 2 - 1
+    y = torch.rand(2, 3, 64, 64) * 2 - 1
+
+    shift = torch.tensor(SHIFT).view(1, 3, 1, 1)
+    scale = torch.tensor(SCALE).view(1, 3, 1, 1)
+    slices = [(0, 2), (2, 5), (5, 8), (8, 10), (10, 11), (11, 12), (12, 13)]
+
+    def taps(t):
+        feats, h = [], (t - shift) / scale
+        for a, b in slices:
+            for i in range(a, b):
+                h = net[i](h)
+            feats.append(h)
+        return feats
+
+    def unit(t):
+        return t / (t.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+
+    with torch.no_grad():
+        ref = sum(
+            ((unit(fx) - unit(fy)).pow(2) * w).sum(1).mean((1, 2))
+            for fx, fy, w in zip(taps(x), taps(y), lins)
+        ).numpy()
+
+    ours = np.asarray(lpips_apply(m, jnp.asarray(x.numpy()), jnp.asarray(y.numpy())))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-5)
