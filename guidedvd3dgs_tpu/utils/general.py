@@ -135,3 +135,24 @@ def vis_depth_turbo(depth: np.ndarray, near=None, far=None) -> np.ndarray:
     g = np.clip(0.0914 + t * (2.1856 + t * (4.8052 - t * (14.0195 - t * (4.2109 + t * 2.7747)))), 0, 1)
     b = np.clip(0.1067 + t * (12.5925 - t * (60.1097 - t * (109.0745 - t * (88.5066 - t * 26.8183)))), 0, 1)
     return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compile cache for the CLIs (first compiles through the
+    remote-TPU tunnel take 30-60s; re-runs then start instantly).
+
+    Deliberately NOT enabled when xla_force_host_platform_device_count is in
+    XLA_FLAGS: cache entries produced under that flag have been observed to
+    be served to later flagless runs with corrupted executables (see
+    tests/conftest.py note), so virtual-mesh test/dryrun processes must never
+    share the cache with production runs."""
+    import os
+
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        return
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

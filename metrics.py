@@ -94,6 +94,8 @@ def evaluate(model_paths, quiet=False):
 
 if __name__ == "__main__":
     import argparse
+    from guidedvd3dgs_tpu.utils.general import enable_compile_cache
+    enable_compile_cache()
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_paths", "-m", required=True, nargs="+", type=str)

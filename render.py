@@ -85,6 +85,8 @@ def render_video(model_path, iteration, views, trainer_like, fps=30,
 
 
 def main():
+    from guidedvd3dgs_tpu.utils.general import enable_compile_cache
+    enable_compile_cache()
     import argparse
 
     import jax.numpy as jnp

@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main():
+    from guidedvd3dgs_tpu.utils.general import enable_compile_cache
+    enable_compile_cache()
     from guidedvd3dgs_tpu.config import (
         ModelParams,
         OptimizationParams,

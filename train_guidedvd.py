@@ -88,6 +88,8 @@ def build_engine(args, opt, height, width):
 
 
 def main():
+    from guidedvd3dgs_tpu.utils.general import enable_compile_cache
+    enable_compile_cache()
     from guidedvd3dgs_tpu.config import (
         ModelParams,
         OptimizationParams,
