@@ -47,6 +47,13 @@ class ParamGroup:
                 names.append(f"-{SHORTHANDS[f.name]}")
             if f.type in ("bool", bool):
                 group.add_argument(*names, default=default, action="store_true")
+                # reference ParamGroup can never switch a True-default bool
+                # off from the CLI (arguments/__init__.py:30-33); provide a
+                # --no_ counterpart (SUPPRESS keeps the pair's default intact)
+                group.add_argument(
+                    f"--no_{f.name}", dest=f.name, action="store_false",
+                    default=argparse.SUPPRESS, help=argparse.SUPPRESS,
+                )
             else:
                 ftype = {"int": int, "float": float, "str": str}.get(f.type, None)
                 if ftype is None:

@@ -920,15 +920,18 @@ class GuidedTrainer(BaselineTrainer):
         self._cur_video_key = None
         if self.txt_traj_warmup:
             traj = self._txt_trajectory(view)
-        elif getattr(self.opt, "guidance_random_traj", False) and not getattr(
-            self.opt, "use_trajectory_pool", True
-        ):
-            # random preset trajectory mode (reference :434-452)
-            r = self.rng_np.random()
-            if getattr(self.opt, "guidance_no_wave_traj", False):
-                preset = "loop2" if r < 0.5 else "loop1"
+        elif not getattr(self.opt, "use_trajectory_pool", True):
+            # txt-preset trajectory mode (reference train_guidedvd.py:434-452):
+            # random preset when guidance_random_traj, else the fixed default
+            # (loop2, the hardcoded vc_opts.traj_txt)
+            if getattr(self.opt, "guidance_random_traj", False):
+                r = self.rng_np.random()
+                if getattr(self.opt, "guidance_no_wave_traj", False):
+                    preset = "loop2" if r < 0.5 else "loop1"
+                else:
+                    preset = "loop2" if r < 0.33 else ("loop1" if r < 0.66 else "wave1")
             else:
-                preset = "loop2" if r < 0.33 else ("loop1" if r < 0.66 else "wave1")
+                preset = "loop2"
             traj = self._txt_trajectory(view, preset)
         else:
             if not self.trajectory_pool_shuffle.get(view):

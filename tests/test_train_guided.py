@@ -374,3 +374,20 @@ def test_topk_candidate_selection_matches_reference_rule():
 
         ours = select_topk_candidates(areas, thresh, top_k)
         np.testing.assert_array_equal(ours, ref)
+
+
+def test_txt_preset_trajectory_mode_without_pool():
+    """use_trajectory_pool=False runs diffusion events on the fixed loop2
+    preset (reference train_guidedvd.py:434-452 + hardcoded traj_txt), with
+    no pool built; guidance_random_traj picks among presets instead."""
+    trainer, _ = _setup()
+    trainer.opt.use_trajectory_pool = False
+    trainer.init_view_geometry()
+    assert not trainer.trajectory_pool  # never built
+    trainer.run_diffusion_event(iteration=1)
+    assert len(trainer.pseudo_stack) == trainer.engine.video_length - 1
+
+    trainer.opt.guidance_random_traj = True
+    trainer.opt.guidance_no_wave_traj = True
+    trainer.run_diffusion_event(iteration=41)
+    assert trainer.events_run == 2

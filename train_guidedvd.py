@@ -247,9 +247,14 @@ def main():
         start_iteration = load_guided_checkpoint(args.start_checkpoint, trainer)
         print(f"Resumed guided checkpoint {args.start_checkpoint} "
               f"at iteration {start_iteration}")
-    else:
+    elif getattr(opt, "use_trajectory_pool", True):
         print("Building trajectory pool ...")
         trainer.init_trajectory_pool()
+    else:
+        # txt-preset trajectory mode (reference use_trajectory_pool=False
+        # path, train_guidedvd.py:434-452) — no pool to build, but the view
+        # geometry (DUSt3R poses/depths) is still needed for pc renders
+        trainer.init_view_geometry()
     kwargs = dict(
         iterations=opt.iterations,
         test_iterations=set(args.test_iterations),
