@@ -61,6 +61,10 @@ for stage in "${stages[@]}"; do
             --iteration 10000 || continue
         timeout 1800 python metrics.py -m "$work" || continue
         cat "$work/results.json"
+        # hours-per-scene projection at the reference workload (3-4 h on 2xV100)
+        timeout 600 python tools/project_wallclock.py "$work" \
+            ${DIFFUSION_SMOKE:+--smoke DIFFUSION_SMOKE.json} \
+            | tee WALLCLOCK_PROJECTION.txt || true
         ;;
     *)
         echo "unknown stage: $stage" >&2
