@@ -78,3 +78,35 @@ def test_pcd2img_depth_buffering():
     img, mask = project_point_cloud_to_image(pts, cols, K, np.eye(4), 16, 16)
     assert mask[8, 8] == 1 and mask.sum() == 1
     np.testing.assert_array_equal(img[8, 8], [0, 255, 0])  # nearer green wins
+
+
+def test_get_avg_results_reproduces_reference_aggregates(tmp_path, monkeypatch):
+    """Our aggregate formula vs the reference's shipped results_allscenes.json
+    (assets/results/replica_baseline): re-aggregate its per-scene values
+    through get_avg_results.evaluate and recover the *_all fields exactly."""
+    import json
+    import os
+    import sys
+
+    ref = json.load(open(
+        "/root/reference/assets/results/replica_baseline/results_allscenes.json"
+    ))
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import get_avg_results as g
+
+    scenes = g.SCENES["replica"]
+    assert len(scenes) == len(ref["psnr"])
+    root = tmp_path / "output"
+    for i, scene in enumerate(scenes):
+        d = root / "exp" / scene
+        d.mkdir(parents=True)
+        (d / "results.json").write_text(json.dumps({
+            "ours_10000": {
+                "PSNR": ref["psnr"][i], "SSIM": ref["ssim"][i],
+                "LPIPS": ref["lpips"][i], "LPIPS_ALEX": ref["lpips_alex"][i],
+            }
+        }))
+
+    out = g.evaluate("exp", "replica", root=str(root))
+    for k in ("psnr_all", "ssim_all", "lpips_all", "lpips_alex_all"):
+        assert abs(out[k] - ref[k]) < 1e-9, k
