@@ -996,6 +996,13 @@ class GuidedTrainer(BaselineTrainer):
         _t = _time.time()
         event_dir = self._event_dir(iteration)
         if event_dir:
+            # force the async frozen renders to materialize BEFORE the
+            # artifact timer starts, so device compute is attributed to
+            # 'frozen', not 'artifacts' (only when artifacts are on — the
+            # pipelined no-artifact path must stay async)
+            np.asarray(gs_rgb.ravel()[0:1])
+            _t_frozen += _time.time() - _t
+            _t = _time.time()
             # the reference's primary visual debugging artifacts
             # (train_guidedvd.py:531-542, viewcrafter_wrapper.py:542)
             from guidedvd3dgs_tpu.utils.video import save_video
