@@ -15,12 +15,13 @@ cd "$(dirname "$0")/.."
 
 scene=${1:-/tmp/micro_scene}
 iters=${2:-450}
-base=output/micro_base_${iters}
-guided=output/micro_guided
+tag=$(basename "$scene")
+base=output/${tag}_base_${iters}
+guided=output/${tag}_guided_${iters}
 
 if [ ! -f "$scene/gt_gaussians.npz" ]; then
     python tools/make_synthetic_scene.py --out "$scene" --height 96 --width 128 \
-        --n_gt 6000 --n_init 2000 --n_cams 12 --n_train 6 --backend dense
+        --n_gt 6000 --n_init 2000 --n_cams 24 --n_train 6 --backend dense
 fi
 
 if [ ! -f "$base/point_cloud/iteration_$iters/point_cloud.ply" ]; then

@@ -173,6 +173,17 @@ def test_oracle_engine_renders_gt(tmp_path):
     np.testing.assert_allclose(
         np.asarray(pc.pseudo_gt), np.clip(np.asarray(rgb), 0, 1), atol=2e-5
     )
+    # and through the LOSS-side camera path: the pseudo step renders via
+    # PseudoCamera.raster_camera() (FoV-based), which must agree with the
+    # K-based oracle camera — a convention mismatch here silently turns
+    # perfect pseudo supervision into harmful noise
+    from guidedvd3dgs_tpu.models.render import render_state
+
+    out = render_state(trainer.frozen.state, pc.raster_camera(),
+                       jnp.zeros(3), 0, backend="dense")
+    np.testing.assert_allclose(
+        np.asarray(pc.pseudo_gt), np.clip(np.asarray(out.color), 0, 1), atol=2e-5
+    )
 
 
 def test_timing_summary_and_projection(tmp_path):
