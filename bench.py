@@ -153,12 +153,20 @@ def bench():
 
     ms, out = _timed(g_rep, args)
     finite = all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(out[1]))
+    # model-FLOP estimate for achieved-throughput tracking: every binned
+    # instance touches its tile's 256 pixels; ~40 f32 ops/instance-pixel in
+    # the fwd blend (conic quadratic + exp + transmittance recurrence), ~2.5x
+    # that for fwd+bwd (replay + moment accumulation). Binning/sort/preprocess
+    # excluded — this is blend-kernel model-throughput, not a hardware counter.
+    blend_flops_fwd = demand * 256 * 40
     detail = {
         "fwd_ms": round(fwd_ms, 3),
         "fwd_bwd_ms": round(ms, 3),
         "instance_demand": demand,
         "max_instances": mi,
         "grads_finite": finite,
+        "model_gflops_fwd": round(blend_flops_fwd / (fwd_ms * 1e6), 1),
+        "model_gflops_fwd_bwd": round(2.5 * blend_flops_fwd / (ms * 1e6), 1),
         "dispatch_latency_ms": round(_LATENCY_MS[0], 3),
         "device": str(jax.devices()[0]),
     }
