@@ -13,6 +13,14 @@ the plain sampler (shared ddim_step). Selected upstream with
 --multiple_cond_cfg + --cfg_img (configs/infer_config.py:45-46); the
 upstream multicond sampler runs no_grad and ignores scene-grounding
 guidance, so this path is sampling-only here too.
+
+Known deviation: the reference's multiplecond make_schedule kept the
+pre-fix dynamic-rescale prev array (ddim_multiplecond.py:33 lacks the
+scale_arr[0] prepend that ddim.py:34 marks '# fix a bug'), which inflates
+the final step's pred_x0 by scale_arr[ts[0]]^-1 (~1.5x at default
+schedules). This sampler shares the FIXED arrays with the other two
+(make_ddim_params); tests/test_ddim_sampler_parity.py pins both the
+equivalence under a corrected reference and the upstream divergence.
 """
 
 from __future__ import annotations

@@ -159,3 +159,78 @@ def test_single_step_parity_eta1_shared_noise():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(out.x_prev), x_prev_ref.numpy(),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_multicond_full_sample_parity_eta0():
+    """Two-scale CFG sampler vs the EXECUTED reference multiplecond sampler
+    (ddim_multiplecond.py:212-240): 5 uniform_trailing steps, cfg_text 7.5,
+    cfg_img 2.0, rescale 0.7."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_ddim_multicond",
+        "/root/reference/third_party/ViewCrafter/lvdm/models/samplers/"
+        "ddim_multiplecond.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from guidedvd3dgs_tpu.diffusion.samplers.ddim_multicond import (
+        ddim_sample_multicond,
+    )
+
+    class _CPUMulticond(mod.DDIMSampler):
+        def register_buffer(self, name, attr):
+            if isinstance(attr, torch.Tensor):
+                attr = attr.to("cpu")
+            setattr(self, name, attr)
+
+    sched, x_T, c_cond, c_uncond = _setup()
+    c_uncond_img = (c_cond * 0.5).astype(np.float32)  # image-only branch
+    stub = _StubModel(sched)
+    sampler = _CPUMulticond(stub)
+
+    # The reference multiplecond make_schedule kept the PRE-FIX dynamic
+    # rescale prev array (ddim_multiplecond.py:33 lacks the scale_arr[0]
+    # prepend that ddim.py:34 marks '# fix a bug'); our sampler shares the
+    # fixed arrays. Pin the divergence, then correct the reference's buffer
+    # and assert full parity of the two-scale CFG math.
+    orig_make = sampler.make_schedule
+
+    def fixed_make(*a, **k):
+        orig_make(*a, **k)
+        sampler.ddim_scale_arr_prev = torch.cat(
+            [stub.scale_arr[0:1], sampler.ddim_scale_arr[:-1]]
+        )
+
+    orig_make(ddim_num_steps=5, ddim_discretize="uniform_trailing",
+              ddim_eta=0.0, verbose=False)
+    buggy_prev0 = float(sampler.ddim_scale_arr_prev[0])
+    assert buggy_prev0 == float(sampler.ddim_scale_arr[0])  # upstream bug
+    assert float(stub.scale_arr[0]) == 1.0  # what the fixed samplers use
+
+    sampler.make_schedule = fixed_make
+    with torch.no_grad():
+        ref, _ = sampler.sample(
+            S=5, batch_size=SHAPE[0], shape=SHAPE[1:],
+            conditioning={"c": torch.from_numpy(c_cond)},
+            eta=0.0, x_T=torch.from_numpy(x_T),
+            unconditional_guidance_scale=7.5, cfg_img=2.0,
+            unconditional_conditioning={"c": torch.from_numpy(c_uncond)},
+            unconditional_conditioning_img_nonetext={
+                "c": torch.from_numpy(c_uncond_img)
+            },
+            timestep_spacing="uniform_trailing", guidance_rescale=0.7,
+            verbose=False, schedule_verbose=False,
+        )
+
+    pr = S.make_ddim_params(sched, 5, eta=0.0, method="uniform_trailing")
+    ours = ddim_sample_multicond(
+        sched, pr,
+        apply_cond=lambda x, t: _toy_v_jax(x, t, jnp.asarray(c_cond)),
+        apply_uncond=lambda x, t: _toy_v_jax(x, t, jnp.asarray(c_uncond)),
+        apply_uncond_img=lambda x, t: _toy_v_jax(x, t, jnp.asarray(c_uncond_img)),
+        x_T=jnp.asarray(x_T), rng=jax.random.key(0),
+        cfg_text=7.5, cfg_img=2.0, guidance_rescale=0.7,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=2e-4, atol=2e-4)
