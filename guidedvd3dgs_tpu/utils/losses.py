@@ -44,9 +44,11 @@ def psnr(img1: jnp.ndarray, img2: jnp.ndarray, mask=None) -> jnp.ndarray:
     if mask is None:
         m = mse(img1, img2)
     else:
-        m = (((img1 - img2) * mask) ** 2).reshape(img1.shape[0], -1).sum(1, keepdims=True) / (
-            3.0 * mask.sum()
-        )
+        # reference image_utils.py:21-22: mean of squared diff over the
+        # mask-selected ELEMENTS (mask broadcast to the image shape); the
+        # masked branch collapses the batch dim upstream too
+        mb = jnp.broadcast_to(mask, img1.shape)
+        m = (((img1 - img2) * mb) ** 2).sum() / mb.sum()
     return 20 * jnp.log10(1.0 / jnp.sqrt(m))
 
 
