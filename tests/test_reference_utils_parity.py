@@ -152,3 +152,32 @@ def test_ellipse_path_parity(ref_pose):
     got = generate_ellipse_path([View(c) for c in c2ws], n_frames=40)
     assert np.asarray(got).shape == np.asarray(want).shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_spiral_path_parity(ref_pose):
+    """generate_spiral_path over a synthetic LLFF poses_bounds array
+    (reference pose_utils.py:46-91)."""
+    from guidedvd3dgs_tpu.utils.pose_paths import generate_spiral_path
+
+    rng = np.random.default_rng(5)
+    n = 6
+    rows = []
+    for i in range(n):
+        ang = 0.3 * (i - n / 2) / n
+        c2w = np.eye(4)
+        c2w[:3, :3] = np.array([
+            [np.cos(ang), 0, np.sin(ang)],
+            [0, 1, 0],
+            [-np.sin(ang), 0, np.cos(ang)],
+        ])
+        c2w[:3, 3] = [0.3 * np.sin(ang), 0.05 * i / n, 0.1 * np.cos(ang)]
+        hwf = np.array([[48.0], [64.0], [80.0]])
+        rows.append(np.concatenate(
+            [np.concatenate([c2w[:3, :4], hwf], 1).reshape(-1), [1.0, 10.0]]
+        ))
+    poses_arr = np.stack(rows).astype(np.float64)
+
+    want = ref_pose.generate_spiral_path(poses_arr.copy(), n_frames=30)
+    got = generate_spiral_path(poses_arr.copy(), n_frames=30)
+    assert np.asarray(got).shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
