@@ -181,3 +181,52 @@ def test_spiral_path_parity(ref_pose):
     got = generate_spiral_path(poses_arr.copy(), n_frames=30)
     assert np.asarray(got).shape == want.shape
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_camera_matrix_composition_parity():
+    """The full reference Camera pipeline (scene/cameras.py:18-63):
+    world_view_transform (transposed GLM layout), projection_matrix,
+    full_proj_transform (W2V^T @ P^T), camera_center — executed with
+    .cuda() patched to identity (CPU-only torch in this image)."""
+    import importlib.util
+
+    sys.path.insert(0, REF)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_cameras", os.path.join(REF, "scene/cameras.py")
+        )
+        ref_cams = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_cams)
+
+        rng = np.random.default_rng(6)
+        R = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+        t = rng.normal(size=3)
+        img = torch.rand(3, 24, 32)
+        cam = ref_cams.Camera(
+            colmap_id=0, R=R, T=t, FoVx=1.1, FoVy=0.8, image=img,
+            gt_alpha_mask=None, image_name="x", uid=0, fid=0,
+            data_device="cpu",
+        )
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+    from guidedvd3dgs_tpu.scene.cameras import Camera
+
+    ours = Camera(
+        colmap_id=0, R=R, T=t, FoVx=1.1, FoVy=0.8,
+        image=np.asarray(img), image_name="x", uid=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.world_view_transform),
+        cam.world_view_transform.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ours.projection_matrix),
+        cam.projection_matrix.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ours.full_proj_transform),
+        cam.full_proj_transform.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ours.camera_center),
+        cam.camera_center.numpy(), rtol=1e-5, atol=1e-5)
