@@ -230,3 +230,68 @@ def test_camera_matrix_composition_parity():
     np.testing.assert_allclose(
         np.asarray(ours.camera_center),
         cam.camera_center.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_general_utils_parity():
+    """LR schedule + rotation builders vs the executed reference
+    general_utils (cuda patched to identity; the module-level cv2/matplotlib
+    imports exist in this image)."""
+    import importlib.util
+
+    sys.path.insert(0, REF)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    orig_zeros = torch.zeros
+
+    def _zeros_cpu(*a, **k):  # reference hardcodes device='cuda' literals
+        k.pop("device", None)
+        return orig_zeros(*a, **k)
+
+    torch.zeros = _zeros_cpu
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_general", os.path.join(REF, "utils/general_utils.py")
+        )
+        rg = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(rg)
+
+        from guidedvd3dgs_tpu.utils.general import (
+            build_rotation,
+            build_scaling_rotation,
+            get_expon_lr_func,
+            inverse_sigmoid,
+            strip_symmetric,
+        )
+
+        # exponential log-lerp LR schedule incl. delay multiplier
+        f_ref = rg.get_expon_lr_func(1.6e-4, 1.6e-6, lr_delay_steps=100,
+                                     lr_delay_mult=0.01, max_steps=10_000)
+        f_got = get_expon_lr_func(1.6e-4, 1.6e-6, lr_delay_steps=100,
+                                  lr_delay_mult=0.01, max_steps=10_000)
+        for step in (0, 1, 50, 100, 500, 5000, 10_000, 20_000):
+            assert abs(f_got(step) - f_ref(step)) < 1e-12, step
+
+        rng = np.random.default_rng(7)
+        q = rng.normal(size=(5, 4)).astype(np.float32)
+        s = rng.uniform(0.1, 2.0, size=(5, 3)).astype(np.float32)
+        R_ref = rg.build_rotation(torch.from_numpy(q)).numpy()
+        np.testing.assert_allclose(np.asarray(build_rotation(jnp.asarray(q))),
+                                   R_ref, rtol=1e-5, atol=1e-6)
+        L_ref = rg.build_scaling_rotation(torch.from_numpy(s), torch.from_numpy(q)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(build_scaling_rotation(jnp.asarray(s), jnp.asarray(q))),
+            L_ref, rtol=1e-5, atol=1e-6)
+
+        sym = torch.from_numpy(rng.normal(size=(5, 3, 3)).astype(np.float32))
+        sym = sym + sym.transpose(1, 2)
+        np.testing.assert_allclose(
+            np.asarray(strip_symmetric(jnp.asarray(sym.numpy()))),
+            rg.strip_symmetric(sym).numpy(), rtol=1e-6, atol=1e-7)
+
+        x = rng.uniform(0.01, 0.99, size=(7,)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(inverse_sigmoid(jnp.asarray(x))),
+            rg.inverse_sigmoid(torch.from_numpy(x)).numpy(), rtol=1e-5, atol=1e-6)
+    finally:
+        torch.Tensor.cuda = orig_cuda
+        torch.zeros = orig_zeros
