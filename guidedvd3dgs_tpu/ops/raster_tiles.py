@@ -809,8 +809,9 @@ def rasterize_tiles(
     n = means3d.shape[0]
     if max_instances <= 0:
         max_instances = max(4 * n, 1 << 14)
-    # lcm of the expansion block (512) and the segsum block (1024)
-    max_instances = -(-max_instances // segsum.BBLK) * segsum.BBLK
+    # tiling.bin_gaussians requires 1024-multiples (covers expand.BLK and
+    # segsum.BBLK at any of their tuned values)
+    max_instances = -(-max_instances // 1024) * 1024
 
     static_cfg = (
         sh_degree,

@@ -37,7 +37,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BBLK = 1024  # instance slots per grid step
+# Instance slots per grid step. Per-block VPU cost is dominated by the
+# (BBLK, OUTW) one-hot mask with OUTW = BBLK + 128, so TOTAL work scales
+# as M * (BBLK + 128) / BBLK — smaller blocks do strictly less arithmetic
+# until per-step fixed costs (DMA issue, matmul passes) dominate.
+BBLK = 512
 OUTW = BBLK + 128  # output window (owner span bound + alignment slack)
 
 _INTERPRET = [False]

@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from guidedvd3dgs_tpu.ops import expand
+from guidedvd3dgs_tpu.ops import cumsum, expand
 from guidedvd3dgs_tpu.ops.projection import ProcessedGaussians
 
 TILE = 16  # matches reference BLOCK_X/BLOCK_Y (config.h:16-17)
@@ -149,7 +149,7 @@ def bin_gaussians(
 
     # every Gaussian owns >= 1 slot (see module docstring, point 1)
     count_p = jnp.maximum(count, 1)
-    cum = jnp.cumsum(count_p).astype(jnp.int32)  # inclusive
+    cum = cumsum.cumsum_i32(count_p)  # inclusive; exact (total < 2^24)
     offsets = cum - count_p  # exclusive
     total = cum[-1]
 

@@ -64,7 +64,7 @@ def test_overflow_tail_gaussians_zero():
     """Under capacity overflow tail gaussians own no slot; their sums must
     read zero (pre-zeroed output), not uninitialized memory."""
     rng = np.random.default_rng(2)
-    n, m = 5000, 2 * segsum.BBLK
+    n, m = 5000, max(8 * segsum.BBLK, 4096)  # m must cover ids 0..1999
     ids = np.sort(rng.integers(0, 2000, m)).astype(np.int32)
     ids[: 2000] = np.arange(2000)  # ids 0..1999 present, 2000.. absent
     ids = np.sort(ids)

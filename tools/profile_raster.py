@@ -27,7 +27,7 @@ from guidedvd3dgs_tpu.ops import raster_tiles as rt
 
 ITERS = 8
 GX, GY = (W + 15) // 16, (H + 15) // 16
-M = rt.CHUNK * (-(-4 * N // rt.CHUNK))
+M = 1024 * (-(-4 * N // 1024))  # lcm of expand.BLK and segsum.BBLK
 
 
 def timeit(name, fn, *args):
