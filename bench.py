@@ -200,6 +200,7 @@ def main():
         ms, detail = bench()
         with open(DETAIL_PATH, "w") as f:
             json.dump(detail, f, indent=1)
+            f.write("\n")
         print(json.dumps({
             "metric": "raster_fwd_bwd_ms_1m_splats_320x448",
             "value": round(ms, 3),
@@ -212,6 +213,7 @@ def main():
         try:
             with open(DETAIL_PATH, "w") as f:
                 json.dump({"error": tb}, f, indent=1)
+                f.write("\n")
         except Exception:
             pass
         print(json.dumps({
