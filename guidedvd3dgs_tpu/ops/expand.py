@@ -52,8 +52,10 @@ from jax.experimental.pallas import tpu as pltpu
 # (BLK, WIN)-shaped mask ops with WIN = BLK + 128, so TOTAL work scales as
 # M * (BLK + 128) / BLK — smaller blocks do strictly less arithmetic until
 # per-step fixed costs dominate (BLK=256 measured ~1.5x faster than 512 at
-# M=2.5M on v5e).
-BLK = 256
+# M=2.5M on v5e). Env override for on-chip tuning sweeps.
+import os as _os
+
+BLK = int(_os.environ.get("GVD_EXPAND_BLK", "256"))
 WIN = BLK + 128  # table window per block (owner span bound + alignment slack)
 
 _INTERPRET = [False]
@@ -144,15 +146,24 @@ def _expand_live(
     onehot = prev - ind  # (BLK, WIN), one 1 per row at the owner column
 
     # (16, WIN) . (BLK, WIN)^T -> (16, BLK): contract the lane dims (NT
-    # matmul). precision=HIGHEST is MANDATORY: the TPU default matmul
-    # precision rounds f32 operands to bf16, silently corrupting the
-    # integer-valued table rows (offsets up to 2^20 -> errors of hundreds)
-    # and the means (+-2 px) — interpret mode computes exact f32, so only
-    # hardware runs see it. One-hot operands are exact either way.
-    out = jax.lax.dot_general(
-        tabwin, onehot, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )
+    # matmul). The TPU default matmul precision rounds f32 operands to bf16,
+    # silently corrupting the integer-valued table rows (offsets up to 2^20
+    # -> errors of hundreds) and the means (+-2 px), so the table side is
+    # decomposed into 3 lossless bf16 terms (8 mantissa bits each, 24 total)
+    # — exact f32 in 3 MXU passes where HIGHEST spends 6 splitting the
+    # already-bf16-exact one-hot side too. Interpret mode computes exact f32
+    # either way.
+    def nt(a):
+        return jax.lax.dot_general(
+            a, onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    t_h = tabwin.astype(jnp.bfloat16).astype(jnp.float32)
+    t_r = tabwin - t_h
+    t_m = t_r.astype(jnp.bfloat16).astype(jnp.float32)
+    t_l = t_r - t_m  # <= 8 significant bits left: bf16-representable
+    out = nt(t_h) + nt(t_m) + nt(t_l)
     S = jax.lax.dot_general(
         jnp.ones((1, WIN), jnp.float32), ind, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,

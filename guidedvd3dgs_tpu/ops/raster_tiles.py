@@ -154,9 +154,18 @@ def _chunk_blend_quantities(data, valid, pixx, pixy, T_in, done_in):
     # The TPU default matmul precision rounds f32 operands to bf16
     # (log-transmittance errors ~0.4%), but the 0/1 tril side is bf16-exact,
     # so splitting ONLY the lom side gives exact-f32 accuracy in 3 MXU
-    # passes (HIGHEST spends 6 splitting both). The trigger prefix below is
-    # 0/1 on both sides and stays at default precision (1 pass).
-    cum_incl = _dot_rhs_split(tril, lom)
+    # passes (HIGHEST spends 6 splitting both). In production mode
+    # (_PACK_FIELDS on — fields already carry f16 noise larger than this)
+    # the split is skipped entirely: bf16 rounding of lom adds <= 0.4%
+    # relative on the log-transmittance prefix, which only shifts the
+    # T < 1e-4 termination boundary (per-chunk T_out carry below stays
+    # exact VPU f32, so the error does NOT compound across chunks). The
+    # trigger prefix below is 0/1 on both sides and stays at default
+    # precision (1 pass) always.
+    if tiling._PACK_FIELDS[0]:
+        cum_incl = jax.lax.dot(tril, lom, preferred_element_type=jnp.float32)
+    else:
+        cum_incl = _dot_rhs_split(tril, lom)
     T_before = T_in * jnp.exp(cum_incl - lom)
 
     trigger = live & (T_before * (1.0 - alpha) < T_EPS)

@@ -41,7 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 # (BBLK, OUTW) one-hot mask with OUTW = BBLK + 128, so TOTAL work scales
 # as M * (BBLK + 128) / BBLK — smaller blocks do strictly less arithmetic
 # until per-step fixed costs (DMA issue, matmul passes) dominate.
-BBLK = 512
+# Env override for on-chip tuning sweeps.
+import os as _os
+
+BBLK = int(_os.environ.get("GVD_SEGSUM_BBLK", "512"))
 OUTW = BBLK + 128  # output window (owner span bound + alignment slack)
 
 _INTERPRET = [False]

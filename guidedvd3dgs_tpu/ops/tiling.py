@@ -48,8 +48,12 @@ import numpy as np
 from guidedvd3dgs_tpu.ops import cumsum, expand
 from guidedvd3dgs_tpu.ops.projection import ProcessedGaussians
 
+import os as _os
+
 TILE = 16  # matches reference BLOCK_X/BLOCK_Y (config.h:16-17)
-CHUNK = 128  # kernel streaming granularity; tile segments are CHUNK-aligned
+# kernel streaming granularity; tile segments are CHUNK-aligned.
+# Env override for on-chip tuning sweeps.
+CHUNK = int(_os.environ.get("GVD_RASTER_CHUNK", "128"))
 # Carry opacity+RGB through the binning sort as two f16-packed int32
 # payloads instead of four f32 operands (sort payloads cost ~2.2 ms each at
 # M=2.5M). f16 keeps ~2^-11 relative on values in [0, ~4] — far below the
