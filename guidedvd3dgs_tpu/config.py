@@ -156,6 +156,11 @@ class OptimizationParams(ParamGroup):
     guidance_recon_loss: str = "l2"
     w_guidance_recon_loss: float = 0.5
     guidance_gpu_id: int = 1  # kept for CLI compat; on TPU selects mesh slice
+    # TPU extension: shard the diffusion engine tensor-parallel over this
+    # many chips starting at guidance_gpu_id (1 = reference-style single-
+    # device placement). parallel/model_parallel.py shard_params over a
+    # Mesh model axis; SURVEY §2.5 design target.
+    guidance_tp: int = 1
     guidance_vd_iter: int = 260
     guidance_ddim_steps: int = 50
     guidance_pc_render_all_views: bool = False

@@ -40,8 +40,13 @@ def _spec_for(name: str, arr: jnp.ndarray, model_dim_size: int) -> P:
     return P()
 
 
-def shard_params(params: Dict[str, jnp.ndarray], mesh: Mesh) -> Dict[str, jnp.ndarray]:
-    """Place a torch-named parameter dict with model-axis sharding."""
+def shard_params(params, mesh: Mesh):
+    """Place a torch-named parameter dict with model-axis sharding.
+
+    Also accepts a DiffusionParams-style NamedTuple of sub-model dicts
+    (each dict sharded independently, same rules)."""
+    if not isinstance(params, dict) and hasattr(params, "_fields"):
+        return type(params)(*[shard_params(d, mesh) for d in params])
     msize = mesh.shape[MODEL_AXIS]
     out = {}
     for k, v in params.items():

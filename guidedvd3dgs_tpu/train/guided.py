@@ -258,14 +258,24 @@ class ViewCrafterEngine:
     def __init__(self, params, mcfg, scfg, guided_cfg=None, video_length=25,
                  height=320, width=448, w_recon=0.5, ssim_guidance=False,
                  lpips_fn: Optional[Callable] = None, device=None,
-                 recon_loss: str = "l2"):
+                 recon_loss: str = "l2", mesh=None):
         from guidedvd3dgs_tpu.diffusion.samplers.ddim_guidance import GuidedSampleConfig
 
         # reference guidance_gpu_id analog (arguments/__init__.py:129): pin
         # the diffusion stack to its own chip of the slice so generation
-        # overlaps 3DGS optimization when pipeline_guidance is on
+        # overlaps 3DGS optimization when pipeline_guidance is on.
+        # `mesh` replaces single-device placement with SPMD sharding: UNet/
+        # VAE/encoder weights partitioned over the mesh's model axis
+        # (parallel/model_parallel.py shard_params — XLA inserts the ICI
+        # collectives), the SURVEY §2.5 design target the reference's
+        # two-GPU split stands in for.
         self.device = device
-        if device is not None:
+        self.mesh = mesh
+        if mesh is not None:
+            from guidedvd3dgs_tpu.parallel.model_parallel import shard_params
+
+            params = shard_params(params, mesh)
+        elif device is not None:
             params = jax.device_put(params, device)
         self.params = params
         self.mcfg = mcfg
@@ -296,7 +306,17 @@ class ViewCrafterEngine:
         from guidedvd3dgs_tpu.diffusion.synthesis import image_guided_synthesis
         from guidedvd3dgs_tpu.guidance.loss_guidance import make_guidance_fn, resize_guidance
 
-        if self.device is not None:
+        if self.mesh is not None:
+            from guidedvd3dgs_tpu.parallel.mesh import replicated
+
+            pc_renders, guidance_images, guidance_masks, guidance_depths, rng = (
+                jax.device_put(
+                    (pc_renders, guidance_images, guidance_masks,
+                     guidance_depths, rng),
+                    replicated(self.mesh),
+                )
+            )
+        elif self.device is not None:
             pc_renders, guidance_images, guidance_masks, guidance_depths, rng = (
                 jax.device_put(
                     (pc_renders, guidance_images, guidance_masks,

@@ -34,8 +34,29 @@ def guidance_device(opt):
     return devs[idx] if 0 <= idx < len(devs) else None
 
 
+def guidance_mesh(opt):
+    """--guidance_tp N > 1: tensor-parallel mesh for the diffusion engine
+    over N chips starting at guidance_gpu_id (the TPU-native upgrade of the
+    reference's second-GPU placement, SURVEY §2.5)."""
+    import jax
+
+    tp = int(getattr(opt, "guidance_tp", 1))
+    if tp <= 1:
+        return None
+    from guidedvd3dgs_tpu.parallel.mesh import make_mesh
+
+    idx = int(getattr(opt, "guidance_gpu_id", 0))
+    devs = jax.devices()
+    if idx + tp > len(devs):
+        print(f"WARNING: guidance_tp={tp} from device {idx} exceeds the "
+              f"{len(devs)}-device slice; engine falls back to single-device")
+        return None
+    return make_mesh(n_data=1, n_model=tp, devices=devs[idx : idx + tp])
+
+
 def build_engine(args, opt, height, width):
     device = guidance_device(opt)
+    mesh = guidance_mesh(opt)
     if args.viewcrafter_ckpt:
         import jax.numpy as jnp
 
@@ -68,7 +89,7 @@ def build_engine(args, opt, height, width):
             params, mcfg, scfg,
             guided_cfg=GuidedSampleConfig(recur_steps=opt.guidance_recur_steps),
             video_length=25, height=320, width=d_w, device=device,
-            recon_loss=opt.guidance_recon_loss,
+            recon_loss=opt.guidance_recon_loss, mesh=mesh,
         )
     if args.oracle_gt_npz:
         from guidedvd3dgs_tpu.train.guided import OracleDiffusionEngine
