@@ -90,6 +90,10 @@ class ModelParams(ParamGroup):
     dataset: str = "replica"  # replica | scannetpp | re10k | blender
     train_bg: bool = False  # CLI compat; reference-only experiment (learned bg, gaussian_model.py:170)
     use_dust3r_init: bool = True  # CLI compat; dead upstream (only defined, arguments/__init__.py)
+    # project-page visualization split: Replica demo 6-view tables with
+    # test == train anchors (reference arguments/__init__.py:62,
+    # dataset_readers.py:390-398)
+    demo_setting: bool = False
     # path to a precomputed DUSt3R points3D.ply (overrides dataset default)
     dust3r_ply: str = ""
 

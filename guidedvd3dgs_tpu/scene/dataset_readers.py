@@ -76,12 +76,38 @@ REPLICA_TRAIN_IDX_3V = {
     "room1_seq1": [17, 39, 125],
     "room2_seq1": [323, 485, 526],
 }
+# "demo setting" alternates — project-page visualization splits, train ==
+# test views (reference: scene/dataset_readers.py:390-398)
+REPLICA_TRAIN_IDX_DEMO = {
+    "office2_seq2": [244, 291, 436, 574, 760, 831],
+    "office3_seq1": [22, 98, 187, 315, 504, 581],
+    "room0_seq2": [80, 187, 392, 497, 658, 833],
+    "office4_seq1": [0, 242, 370, 401, 554, 822],
+}
 SCANNETPP_TRAIN_ID = {
     "8a20d62ac0": [9, 85, 134, 172, 329, 380],
     "94ee15e8ba": [3057, 3107, 3177, 3184, 3274, 3302],
     "a29cccc784": [848, 865, 928, 947, 1006, 1040],
     "7831862f02": [3872, 3905, 3954, 3960, 3999, 4051],
 }
+
+
+def farthest_point_sampling(points: np.ndarray, k: int, seed=None) -> np.ndarray:
+    """Greedy farthest-point subsample of an (N, D) cloud (reference:
+    scene/dataset_readers.py:205-230 — defined there for point-cloud
+    downsampling experiments, unused in the main path). `seed` pins the
+    random start index (the reference uses global np.random state)."""
+    rng = np.random.default_rng(seed)
+    n = points.shape[0]
+    out = np.zeros((k, points.shape[1]), points.dtype)
+    distances = np.full(n, np.inf)
+    farthest = int(rng.integers(0, n))
+    for i in range(k):
+        out[i] = points[farthest]
+        dist = np.sum((points - points[farthest]) ** 2, axis=1)
+        distances = np.minimum(distances, dist)
+        farthest = int(np.argmax(distances))
+    return out
 
 
 def extract_number(s: str) -> int:
@@ -205,6 +231,7 @@ def read_colmap_scene(
     ply_path: str = "",
     replica_use_project_cam: bool = False,
     projected_dir: Optional[str] = None,
+    demo_setting: bool = False,
 ) -> SceneInfo:
     """Main COLMAP scene entry (role of reference
     scene/dataset_readers.py:260-511). `ply_path` must point to the
@@ -221,13 +248,21 @@ def read_colmap_scene(
     if eval:
         if dataset_l == "replica":
             key = replica_scene_key(path)
-            table = {6: REPLICA_TRAIN_IDX_6V, 9: REPLICA_TRAIN_IDX_9V, 3: REPLICA_TRAIN_IDX_3V}[
-                n_views
-            ]
-            train_idx = table[key]
-            # test views for 6/9v both derive from the 6v anchors
-            anchors = REPLICA_TRAIN_IDX_6V[key] if n_views in (6, 9) else train_idx
-            test_idx = replica_test_indices(anchors, len(cam_infos))
+            if demo_setting:
+                # project-page visualization split: test == train views
+                # (reference dataset_readers.py:390-398)
+                train_idx = REPLICA_TRAIN_IDX_DEMO[key]
+                test_idx = replica_test_indices(train_idx, len(cam_infos))
+            else:
+                table = {
+                    6: REPLICA_TRAIN_IDX_6V,
+                    9: REPLICA_TRAIN_IDX_9V,
+                    3: REPLICA_TRAIN_IDX_3V,
+                }[n_views]
+                train_idx = table[key]
+                # test views for 6/9v both derive from the 6v anchors
+                anchors = REPLICA_TRAIN_IDX_6V[key] if n_views in (6, 9) else train_idx
+                test_idx = replica_test_indices(anchors, len(cam_infos))
             if replica_use_project_cam:
                 project_cam_infos = cam_infos[::6]
         elif dataset_l == "scannetpp":

@@ -63,6 +63,7 @@ class Scene:
                 replica_use_project_cam=replica_use_project_cam
                 or getattr(args, "replica_use_project_cam", False),
                 projected_dir=projected_dir,
+                demo_setting=getattr(args, "demo_setting", False),
             )
         elif os.path.exists(os.path.join(args.source_path, "transforms_train.json")):
             scene_info = dataset_readers.read_blender_scene(

@@ -34,7 +34,7 @@ for stage in "${stages[@]}"; do
         timeout 1800 python bench.py || echo "bench FAILED (see BENCH_DETAIL.json)" >&2
         ;;
     smoke)
-        timeout 3600 python tools/diffusion_fullsize_smoke.py \
+        timeout 7200 python tools/diffusion_fullsize_smoke.py --full \
             || echo "diffusion smoke FAILED" >&2
         ;;
     e2e)

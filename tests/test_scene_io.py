@@ -124,3 +124,30 @@ def test_config_reflection_and_namespace_parse():
         "Namespace(sh_degree=3, source_path='/d', eval=True, lr=0.01, names=['a','b'])"
     )
     assert ns["sh_degree"] == 3 and ns["names"] == ["a", "b"]
+
+
+def test_farthest_point_sampling():
+    from guidedvd3dgs_tpu.scene.dataset_readers import farthest_point_sampling
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(500, 3)).astype(np.float32)
+    out = farthest_point_sampling(pts, 16, seed=1)
+    assert out.shape == (16, 3)
+    # sampled points are actual input points, all distinct
+    assert len({tuple(p) for p in out}) == 16
+    d = ((pts[None] - out[:, None]) ** 2).sum(-1).min(axis=0)
+    # greedy FPS covers the cloud better than the first-16 prefix
+    prefix = ((pts[None] - pts[:16][:, None]) ** 2).sum(-1).min(axis=0)
+    assert d.max() < prefix.max()
+
+
+def test_replica_demo_setting_table():
+    from guidedvd3dgs_tpu.scene.dataset_readers import (
+        REPLICA_TRAIN_IDX_DEMO,
+        replica_test_indices,
+    )
+
+    # reference scene/dataset_readers.py:390-398 verbatim, test == train
+    assert REPLICA_TRAIN_IDX_DEMO["office3_seq1"] == [22, 98, 187, 315, 504, 581]
+    t = replica_test_indices(REPLICA_TRAIN_IDX_DEMO["room0_seq2"], 900)
+    assert t and all(i not in REPLICA_TRAIN_IDX_DEMO["room0_seq2"] for i in t)
