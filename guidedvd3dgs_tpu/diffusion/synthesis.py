@@ -114,14 +114,23 @@ def image_guided_synthesis(
     scale_guidance_weight: float = 1.0,
     prompt_tokens: Optional[np.ndarray] = None,
     pred_x0_trace: bool = False,
+    sched=None,
+    ddim_params=None,
 ) -> jnp.ndarray:
     """Returns the generated video (T, H, W, 3) in [-1, 1]; with
     ``pred_x0_trace`` (guided path only) also the per-DDIM-step pred_x0
-    latents (S, T, h, w, 4) for debug artifact dumps."""
-    sched = mcfg.schedule()
-    pr = S.make_ddim_params(
-        sched, scfg.ddim_steps, eta=scfg.ddim_eta, method=scfg.timestep_spacing
-    )
+    latents (S, T, h, w, 4) for debug artifact dumps.
+
+    ``sched``/``ddim_params`` may be precomputed and passed in — required
+    when this function is called under jit (the DDIM timestep table is
+    host-side numpy, reference utils_diffusion.py make_ddim_timesteps)."""
+    if sched is None:
+        sched = mcfg.schedule()
+    pr = ddim_params
+    if pr is None:
+        pr = S.make_ddim_params(
+            sched, scfg.ddim_steps, eta=scfg.ddim_eta, method=scfg.timestep_spacing
+        )
     rng, ck, sk = jax.random.split(rng, 3)
     cond, uncond, uncond_img = build_conditioning(
         params, mcfg, scfg, video, ck, prompt_tokens=prompt_tokens

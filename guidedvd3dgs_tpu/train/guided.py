@@ -300,11 +300,53 @@ class ViewCrafterEngine:
         # videos are decoded and written here (reference LossGuidance
         # .save_pred_x0, viewcrafter_wrapper.py:174-192)
         self.save_pred_x0_dir: Optional[str] = None
+        # jitted synthesis entries keyed by (guided, want_trace): weights
+        # and per-event guidance buffers are jit ARGUMENTS, so one compile
+        # serves every diffusion event. Calling image_guided_synthesis
+        # eagerly instead would close the 50-step scan over the weights AND
+        # the event's guidance buffers as embedded constants — multi-GB
+        # executables recompiled at EVERY event because the buffer values
+        # change (the reference has no such cliff: torch is eager).
+        self._synth_cache: dict = {}
+
+    def _synth_jit(self, guided: bool, want_trace: bool):
+        key = (guided, want_trace)
+        fn = self._synth_cache.get(key)
+        if fn is not None:
+            return fn
+        from guidedvd3dgs_tpu.diffusion import schedules as S
+        from guidedvd3dgs_tpu.diffusion.synthesis import image_guided_synthesis
+        from guidedvd3dgs_tpu.guidance.loss_guidance import make_guidance_fn
+
+        # schedule tables are host-side numpy — precompute outside the trace
+        sched = self.mcfg.schedule()
+        pr = S.make_ddim_params(
+            sched, self.scfg.ddim_steps, eta=self.scfg.ddim_eta,
+            method=self.scfg.timestep_spacing,
+        )
+
+        def synth(params, video, rng, sw, buffers):
+            gf = None
+            if guided:
+                gf = make_guidance_fn(
+                    buffers, w_recon=self.w_recon,
+                    ssim_guidance=self.ssim_guidance, lpips_fn=self.lpips_fn,
+                    recon_loss=getattr(self, "recon_loss", "l2"),
+                )
+            return image_guided_synthesis(
+                params, self.mcfg, self.scfg, video, rng,
+                guidance_fn=gf, guided_cfg=self.guided_cfg,
+                scale_guidance_weight=sw, pred_x0_trace=want_trace,
+                sched=sched, ddim_params=pr,
+            )
+
+        fn = jax.jit(synth)
+        self._synth_cache[key] = fn
+        return fn
 
     def generate(self, pc_renders, guidance_images, guidance_masks,
                  guidance_depths, rng, no_guidance=False, scale_guidance_weight=1.0):
-        from guidedvd3dgs_tpu.diffusion.synthesis import image_guided_synthesis
-        from guidedvd3dgs_tpu.guidance.loss_guidance import make_guidance_fn, resize_guidance
+        from guidedvd3dgs_tpu.guidance.loss_guidance import resize_guidance
 
         if self.mesh is not None:
             from guidedvd3dgs_tpu.parallel.mesh import replicated
@@ -340,32 +382,24 @@ class ViewCrafterEngine:
                 masks=None if self.scale_weight_mode else guidance_masks,
                 depths=guidance_depths,
             )
-            guidance_fn = make_guidance_fn(
-                buffers, w_recon=self.w_recon,
-                ssim_guidance=self.ssim_guidance, lpips_fn=self.lpips_fn,
-                recon_loss=getattr(self, "recon_loss", "l2"),
-            )
         if self.verbose:
             print(
                 f"  [engine] {self.height}x{self.width}x{t} "
                 f"recon={self.recon_loss} w_recon={self.w_recon} "
                 f"ssim={self.ssim_guidance} lpips={self.lpips_fn is not None} "
-                f"guided={guidance_fn is not None} sw={scale_guidance_weight}",
+                f"guided={not no_guidance} sw={scale_guidance_weight}",
                 flush=True,
             )
         # the multicond sampler has no trace output (synthesis routes
         # guidance_fn is None OR multiple_cond_cfg to samplers that return
         # trace=None)
-        want_trace = (
-            bool(self.save_pred_x0_dir)
-            and guidance_fn is not None
-            and not self.scfg.multiple_cond_cfg
-        )
-        frames = image_guided_synthesis(
-            self.params, self.mcfg, self.scfg, video, rng,
-            guidance_fn=guidance_fn, guided_cfg=self.guided_cfg,
-            scale_guidance_weight=scale_guidance_weight,
-            pred_x0_trace=want_trace,
+        guided = not no_guidance and not self.scfg.multiple_cond_cfg
+        want_trace = bool(self.save_pred_x0_dir) and guided
+        synth = self._synth_jit(not no_guidance, want_trace)
+        frames = synth(
+            self.params, video, rng,
+            jnp.asarray(scale_guidance_weight, jnp.float32),
+            buffers if not no_guidance else None,
         )
         if want_trace:
             frames, trace = frames

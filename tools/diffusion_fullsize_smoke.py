@@ -104,13 +104,15 @@ def main():
 
     x = jax.random.normal(jax.random.key(3), (1, T, H // 8, W // 8, 4))
 
-    fwd = jax.jit(lambda x, t: apply_model(params, mcfg, x, t, cond))
+    # params/cond are jit ARGUMENTS — closing over them embeds 2.9 GB of
+    # weights as executable constants (slow lowering, duplicated HBM)
+    fwd = jax.jit(lambda p, c, x, t: apply_model(p, mcfg, x, t, c))
     t0 = time.time()
-    v = fwd(x, jnp.asarray([500]))
+    v = fwd(params, cond, x, jnp.asarray([500]))
     force(v)
     compile_s = time.time() - t0
     t0 = time.time()
-    v = fwd(x, jnp.asarray([500]))
+    v = fwd(params, cond, x, jnp.asarray([500]))
     force(v)
     timings["unet_fwd_compile_s"] = round(compile_s, 1)
     timings["unet_fwd_run_s"] = round(time.time() - t0, 3)
@@ -127,7 +129,6 @@ def main():
     gi = jax.random.uniform(jax.random.key(4), (T, 3, H, W))
     buffers = resize_guidance(gi, H, W, masks=jnp.ones((T, 1, H, W)),
                               depths=jnp.ones((T, 1, H, W)))
-    guidance_fn = make_guidance_fn(buffers)
 
     sched = mcfg.schedule()
     pr = make_ddim_params(sched, scfg.ddim_steps, eta=scfg.ddim_eta,
@@ -135,18 +136,21 @@ def main():
 
     gcfg = GuidedSampleConfig(cfg_scale=scfg.cfg_scale,
                               guidance_rescale=scfg.guidance_rescale)
-    step_fn = jax.jit(
-        lambda x, i, key: _guided_step(
-            params, mcfg, sched, pr, cond, uncond, gcfg, guidance_fn,
-            jnp.float32(1.0), x, i, key,
-        )
-    )
+
+    def step(p, c, u, bufs, x, i, key):
+        gf = make_guidance_fn(bufs)  # built INSIDE jit from the bufs args
+        return _guided_step(p, mcfg, sched, pr, c, u, gcfg, gf,
+                            jnp.float32(1.0), x, i, key)
+
+    step_fn = jax.jit(step)
     t0 = time.time()
-    out = step_fn(x, jnp.int32(scfg.ddim_steps - 1), jax.random.key(5))
+    out = step_fn(params, cond, uncond, buffers, x,
+                  jnp.int32(scfg.ddim_steps - 1), jax.random.key(5))
     force(out)
     compile_s = time.time() - t0
     t0 = time.time()
-    out = step_fn(x, jnp.int32(scfg.ddim_steps - 1), jax.random.key(5))
+    out = step_fn(params, cond, uncond, buffers, x,
+                  jnp.int32(scfg.ddim_steps - 1), jax.random.key(5))
     force(out)
     timings["guided_step_compile_s"] = round(compile_s, 1)
     timings["guided_step_run_s"] = round(time.time() - t0, 2)
@@ -158,11 +162,16 @@ def main():
     )
 
     if args.full:
+        @jax.jit
+        def full_sample(p, v, key, bufs):
+            gf = make_guidance_fn(bufs)
+            return image_guided_synthesis(
+                p, mcfg, scfg, v, key,
+                guidance_fn=gf, guided_cfg=GuidedSampleConfig(),
+            )
+
         t0 = time.time()
-        frames = image_guided_synthesis(
-            params, mcfg, scfg, video, jax.random.key(6),
-            guidance_fn=guidance_fn, guided_cfg=GuidedSampleConfig(),
-        )
+        frames = full_sample(params, video, jax.random.key(6), buffers)
         force(frames)
         timings["full_sample_s"] = round(time.time() - t0, 1)
         print(
