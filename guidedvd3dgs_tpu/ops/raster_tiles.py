@@ -119,9 +119,82 @@ def _pixel_coords(t, gx):
     return pixx, pixy
 
 
-def _chunk_blend_quantities(data, valid, pixx, pixy, T_in, done_in):
-    """Shared fwd/bwd per-chunk math. data: (CHUNK, NUM_FIELDS) VMEM values.
-    Returns per-instance-per-pixel arrays shaped (CHUNK, TILE_PIX).
+def _f16_bits_to_f32(u):
+    """IEEE f16 bit pattern (int32 in [0, 65536)) -> f32 value, via integer
+    math + one same-width i32->f32 bitcast. Mosaic rejects 16-bit
+    bitcast_vreg casts in some lowerings ("Invalid vector register cast"),
+    so the decode never touches 16-bit vector types. Handles normals,
+    subnormals, zero and sign; f16 inf/nan cannot occur (the binner packs
+    finite in-range values)."""
+    s = jnp.right_shift(u, 15) & 1
+    e = jnp.right_shift(u, 10) & 0x1F
+    m = u & 0x3FF
+    # 2^(e-25) = f32 with biased exponent (e - 25 + 127)
+    pw = jax.lax.bitcast_convert_type((e + 102) << 23, jnp.float32)
+    val = jnp.where(
+        e > 0,
+        (1024 + m).astype(jnp.float32) * pw,  # (1 + m/1024) * 2^(e-15)
+        m.astype(jnp.float32) * jnp.float32(2.0 ** -24),  # subnormal
+    )
+    return jnp.where(s > 0, -val, val)
+
+
+def _unpack_f16_rows(p):
+    """(1, CHUNK) int32 of (f16 << 16 | f16) -> two (1, CHUNK) f32 rows
+    (in-kernel mirror of tiling._unpack_f16, integer-decoded)."""
+    a = _f16_bits_to_f32(jnp.right_shift(p, 16) & 0xFFFF)
+    b = _f16_bits_to_f32(p & 0xFFFF)
+    return a, b
+
+
+def _pack_bf16_rows(a, b):
+    """Two (CHUNK, 1) f32 -> one int32 of (bf16 << 16 | bf16) — in-kernel
+    mirror of tiling._pack_bf16. bf16 truncation is done in integer space
+    (round-to-nearest-even on the top 16 f32 bits) so no 16-bit vector
+    types are involved."""
+
+    def rne16(x):
+        u = jax.lax.bitcast_convert_type(x, jnp.int32)
+        return jnp.right_shift(u + 0x7FFF + (jnp.right_shift(u, 16) & 1), 16)
+
+    return (rne16(a) << 16) | (rne16(b) & 0xFFFF)
+
+
+def _unpack_inst_chunk(raw, dmin, dstep, depth_bits):
+    """Packed-mode chunk decode. raw: (NP_FIELDS, CHUNK) int32 VMEM values.
+    Returns ((CHUNK,1) mx/my/ca/cb/cc/op columns, (5, CHUNK) [r,g,b,d,1]
+    fused-accumulate rows, (CHUNK, 5) transpose of the latter).
+
+    Only full (8, CHUNK)-shaped transposes are used (the sublane dim a
+    multiple of 8 — the layout Mosaic handles well); narrow slices come
+    off the transposed results."""
+    ck = raw.shape[1]
+    # geometry rows ride as bitcast f32; rows 5-7 transpose along but are
+    # never read as f32
+    geomT = jax.lax.bitcast_convert_type(raw, jnp.float32).T  # (CHUNK, 8)
+    op_row, r_row = _unpack_f16_rows(raw[tiling.P_OPR : tiling.P_OPR + 1])
+    g_row, b_row = _unpack_f16_rows(raw[tiling.P_GB : tiling.P_GB + 1])
+    dq = (raw[tiling.P_KEY : tiling.P_KEY + 1]
+          & jnp.int32((1 << depth_bits) - 1)).astype(jnp.float32)
+    d_row = dmin + (dq + 0.5) * dstep
+    ones = jnp.ones((1, ck), jnp.float32)
+    cd1 = jnp.concatenate([r_row, g_row, b_row, d_row, ones], axis=0)
+    # second (8, CHUNK) transpose carries the unpacked rows: col 0 = op,
+    # cols 1-5 = [r, g, b, d, 1]
+    F = jnp.concatenate(
+        [op_row, cd1, jnp.zeros((2, ck), jnp.float32)], axis=0
+    ).T  # (CHUNK, 8)
+    cols = dict(
+        mx=geomT[:, 0:1], my=geomT[:, 1:2], ca=geomT[:, 2:3],
+        cb=geomT[:, 3:4], cc=geomT[:, 4:5], op=F[:, 0:1],
+    )
+    return cols, cd1, F[:, 1:6]
+
+
+def _chunk_blend_quantities(cols, valid, pixx, pixy, T_in, done_in):
+    """Shared fwd/bwd per-chunk math. cols: dict of (CHUNK, 1) VMEM columns
+    mx/my/ca/cb/cc/op. Returns per-instance-per-pixel arrays shaped
+    (CHUNK, TILE_PIX).
 
     VPU economy (the chunk loop is VPU-bound; every (CHUNK, TILE_PIX) op
     costs ~32 cycles):
@@ -133,12 +206,12 @@ def _chunk_blend_quantities(data, valid, pixx, pixy, T_in, done_in):
       - done_out reads the LAST ROW of trig_cum (total trigger count)
         instead of a sublane any-reduction.
     """
-    mx = data[:, F_MX : F_MX + 1]
-    my = data[:, F_MY : F_MY + 1]
-    ca = data[:, F_CA : F_CA + 1]
-    cb = data[:, F_CB : F_CB + 1]
-    cc = data[:, F_CC : F_CC + 1]
-    op = data[:, F_OP : F_OP + 1]
+    mx = cols["mx"]
+    my = cols["my"]
+    ca = cols["ca"]
+    cb = cols["cb"]
+    cc = cols["cc"]
+    op = cols["op"]
     logop = jnp.log(jnp.maximum(op, 1e-37))  # narrow (CHUNK, 1)
 
     dx = mx - pixx  # (CHUNK, TILE_PIX)
@@ -194,17 +267,19 @@ def _fwd_kernel(
     tile_start_ref,
     tile_count_ref,
     # inputs
-    inst_ref,  # (NUM_FIELDS, M) in ANY/HBM
-    bg_ref,  # (3, 1) SMEM
+    inst_ref,  # packed: (NP_FIELDS, M) i32; exact: (NUM_FIELDS, M) f32 (ANY)
+    bg_ref,  # (8, 1) SMEM f32: rows 0-2 bg, 3 dmin, 4 dstep (packed mode)
     # outputs (VMEM blocks)
     out_ref,  # (1, 8, TILE_PIX): rows 0-2 color, 3 depth, 4 alpha, 5-7 pad
     # scratch
-    chunk_vmem,  # (2, NUM_FIELDS, CHUNK) double buffer
+    chunk_vmem,  # (2, R, CHUNK) double buffer (R/dtype per layout)
     state_vmem,  # (8, TILE_PIX): 0 T, 1-3 accC, 4 accD, 5 accA, 6 done, 7 pad
     done_smem,  # (1,) int32
     sem,  # DMA sems, shape (2,)
     *,
     gx: int,
+    packed: bool,
+    depth_bits: int,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]  # CHUNK-aligned (tiling.bin_gaussians)
@@ -249,18 +324,29 @@ def _fwd_kernel(
             copy_in(c + 1, 1 - slot).start()
 
         off = astart + c * CHUNK
-        data = chunk_vmem[slot].T  # (CHUNK, NUM_FIELDS)
         idx = off + col_idx
         valid = idx < start + count
 
+        # fused accumulate: [R, G, B, D, 1] rows (the constant ones row from
+        # the binner or synthesized by the unpack), so color, depth and
+        # alpha accumulation is ONE (5, CHUNK) x (CHUNK, TILE_PIX) matmul
+        if packed:
+            cols, cd1, _ = _unpack_inst_chunk(
+                chunk_vmem[slot], bg_ref[3, 0], bg_ref[4, 0], depth_bits
+            )
+        else:
+            data = chunk_vmem[slot].T  # (CHUNK, NUM_FIELDS)
+            cols = dict(
+                mx=data[:, F_MX : F_MX + 1], my=data[:, F_MY : F_MY + 1],
+                ca=data[:, F_CA : F_CA + 1], cb=data[:, F_CB : F_CB + 1],
+                cc=data[:, F_CC : F_CC + 1], op=data[:, F_OP : F_OP + 1],
+            )
+            cd1 = chunk_vmem[slot][F_R : F_ONE + 1, :]  # (5, CHUNK)
+
         T = state_vmem[0:1]
         done = state_vmem[6:7] > 0.5
-        q = _chunk_blend_quantities(data, valid, pixx, pixy, T, done)
+        q = _chunk_blend_quantities(cols, valid, pixx, pixy, T, done)
         w = q["w"]
-        # fused accumulate: rows F_R..F_ONE of the chunk are [R, G, B, D, 1]
-        # (the constant ones row comes from the binner), so color, depth and
-        # alpha accumulation is ONE (5, CHUNK) x (CHUNK, TILE_PIX) matmul
-        cd1 = chunk_vmem[slot][F_R : F_ONE + 1, :]  # (5, CHUNK)
         state_vmem[1:6] = state_vmem[1:6] + jax.lax.dot(
             cd1, w, preferred_element_type=jnp.float32,
             precision=_MM_PRECISION[0],
@@ -303,9 +389,23 @@ def _planes_to_tiles(planes: jnp.ndarray, gx: int, gy: int) -> jnp.ndarray:
     return x.transpose(1, 3, 0, 2, 4).reshape(gy * gx, r, TILE_PIX)
 
 
-def _run_fwd(inst_data, tile_start, tile_count, bg, gx: int, gy: int):
+def _run_fwd(inst_data, tile_start, tile_count, bg, gx: int, gy: int,
+             depth_dmin=None, depth_dstep=None, depth_bits: int = 0):
     num_tiles = gx * gy
-    kernel = functools.partial(_fwd_kernel, gx=gx)
+    is_packed = inst_data.dtype == jnp.int32
+    nrows = tiling.NP_FIELDS if is_packed else NUM_FIELDS
+    dtype = jnp.int32 if is_packed else jnp.float32
+    kernel = functools.partial(
+        _fwd_kernel, gx=gx, packed=is_packed, depth_bits=depth_bits
+    )
+    # SMEM scalar block: rows 0-2 bg, 3 dmin, 4 dstep
+    zero = jnp.float32(0.0)
+    scalars = jnp.stack([
+        bg[0], bg[1], bg[2],
+        zero if depth_dmin is None else depth_dmin,
+        zero if depth_dstep is None else depth_dstep,
+        zero, zero, zero,
+    ]).reshape(8, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -315,19 +415,19 @@ def _run_fwd(inst_data, tile_start, tile_count, bg, gx: int, gy: int):
         ],
         out_specs=pl.BlockSpec((1, 8, TILE_PIX), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, nrows, CHUNK), dtype),
             pltpu.VMEM((8, TILE_PIX), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    packed = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, 8, TILE_PIX), jnp.float32),
         interpret=_INTERPRET[0],
-    )(tile_start, tile_count, inst_data, bg.reshape(3, 1))
-    planes = _tiles_to_planes(packed, gx, gy)
+    )(tile_start, tile_count, inst_data, scalars)
+    planes = _tiles_to_planes(out, gx, gy)
     return planes[0:3], planes[3], planes[4]
 
 
@@ -339,19 +439,24 @@ def _run_fwd(inst_data, tile_start, tile_count, bg, gx: int, gy: int):
 def _bwd_kernel(
     tile_start_ref,
     tile_count_ref,
-    inst_ref,  # (NUM_FIELDS, M) ANY
+    inst_ref,  # packed: (NP_FIELDS, M) i32; exact: (NUM_FIELDS, M) f32 (ANY)
+    dparams_ref,  # (8, 1) SMEM f32: 3 dmin, 4 dstep (packed mode)
     fwd_ref,  # (1, 8, TILE_PIX): rows 0-2 C, 3 D, 4 A
     cot_ref,  # (1, 8, TILE_PIX): rows 0-2 dC, 3 dD, 4 dA
-    zeros_ref,  # (NUM_FIELDS, M) ANY, aliased onto grad_ref (unused)
-    grad_ref,  # (NUM_FIELDS, M) ANY output, pre-zeroed via io-aliasing
-    chunk_vmem,  # (2, NUM_FIELDS, CHUNK) input double buffer
-    gchunk_vmem,  # (2, NUM_FIELDS, CHUNK) output double buffer
+    zeros_ref,  # grad-shaped ANY, aliased onto grad_ref (unused)
+    grad_ref,  # packed: (NP_FIELDS, M) i32 bf16-pair grads; exact:
+    #            (NUM_FIELDS, M) f32 — pre-zeroed via io-aliasing
+    chunk_vmem,  # (2, R, CHUNK) input double buffer
+    gchunk_vmem,  # (2, R, CHUNK) output double buffer
     state_vmem,  # (8, TILE_PIX): 0 T, 1 prefix, 2 done, 3-7 pad
     done_smem,  # (1,) int32
     sem,  # (2,) input DMA sems
     gsem,  # (2,) output DMA sems
     *,
     gx: int,
+    packed: bool,
+    depth_bits: int,
+    pack_grads: bool,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]  # CHUNK-aligned (tiling.bin_gaussians)
@@ -407,18 +512,31 @@ def _bwd_kernel(
             copy_in(c + 1, 1 - slot).start()
 
         off = astart + c * CHUNK
-        data = chunk_vmem[slot].T  # (CHUNK, NUM_FIELDS)
         idx = off + col_idx
         valid = idx < start + count
+
+        if packed:
+            cols, _, rgbd1 = _unpack_inst_chunk(
+                chunk_vmem[slot], dparams_ref[3, 0], dparams_ref[4, 0],
+                depth_bits,
+            )
+        else:
+            data = chunk_vmem[slot].T  # (CHUNK, NUM_FIELDS)
+            cols = dict(
+                mx=data[:, F_MX : F_MX + 1], my=data[:, F_MY : F_MY + 1],
+                ca=data[:, F_CA : F_CA + 1], cb=data[:, F_CB : F_CB + 1],
+                cc=data[:, F_CC : F_CC + 1], op=data[:, F_OP : F_OP + 1],
+            )
+            rgbd1 = data[:, F_R : F_ONE + 1]  # (CHUNK, 5)
 
         T = state_vmem[0:1]
         prefix = state_vmem[1:2]
         done = state_vmem[2:3] > 0.5
-        q = _chunk_blend_quantities(data, valid, pixx, pixy, T, done)
+        q = _chunk_blend_quantities(cols, valid, pixx, pixy, T, done)
         w, include, alpha = q["w"], q["include"], q["alpha"]
 
-        # u_i per instance-pixel: c_i . dC + d_i * dD + dA — rows F_R..F_ONE
-        # are [R, G, B, D, 1] and cotangent rows 0..4 are [dC(3), dD, dA],
+        # u_i per instance-pixel: c_i . dC + d_i * dD + dA — the [R,G,B,D,1]
+        # rows against cotangent rows 0..4 [dC(3), dD, dA],
         # so u is ONE (CHUNK, 5) x (5, TILE_PIX) matmul (ones-row fusion)
         # u/prefix/d_colD run at DEFAULT precision when grads are packed:
         # their bf16 operand rounding (~0.4%) enters the gradient additively
@@ -427,7 +545,7 @@ def _bwd_kernel(
         gprec = (jax.lax.Precision.DEFAULT if _PACK_GRADS[0]
                  else _MM_PRECISION[0])
         u = jax.lax.dot(
-            data[:, F_R : F_ONE + 1], cot_ref[0, 0:5, :],
+            rgbd1, cot_ref[0, 0:5, :],
             preferred_element_type=jnp.float32,
             precision=gprec,
         )
@@ -501,10 +619,27 @@ def _bwd_kernel(
             precision=gprec,
         )  # (CHUNK, 4)
 
-        zeros = jnp.zeros((CHUNK, NUM_FIELDS - 10), jnp.float32)
-        gout = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_colD, zeros], axis=1
-        )
+        if pack_grads:
+            # bf16-pack the 10 grad rows to 5 int32 pair rows IN-KERNEL —
+            # the reduce sort consumes them directly (the XLA-side pack
+            # pass and half the gradient HBM traffic disappear); bf16
+            # keeps the full f32 exponent range (gradients span decades)
+            gout = jnp.concatenate(
+                [
+                    _pack_bf16_rows(d_mx, d_my),
+                    _pack_bf16_rows(d_ca, d_cb),
+                    _pack_bf16_rows(d_cc, d_op),
+                    _pack_bf16_rows(d_colD[:, 0:1], d_colD[:, 1:2]),
+                    _pack_bf16_rows(d_colD[:, 2:3], d_colD[:, 3:4]),
+                    jnp.zeros((CHUNK, tiling.NP_FIELDS - 5), jnp.int32),
+                ],
+                axis=1,
+            )
+        else:
+            zeros = jnp.zeros((CHUNK, NUM_FIELDS - 10), jnp.float32)
+            gout = jnp.concatenate(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_colD, zeros], axis=1
+            )
 
         # Pure store: the chunk belongs to this tile alone (CHUNK-aligned
         # segments), and skipped chunks stay zero (pre-zeroed aliased
@@ -543,10 +678,17 @@ def _bwd_kernel(
 
 
 def _run_bwd(
-    inst_data, tile_start, tile_count, C, D, A, dC, dD, dA, gx: int, gy: int
+    inst_data, tile_start, tile_count, C, D, A, dC, dD, dA, gx: int, gy: int,
+    depth_dmin=None, depth_dstep=None, depth_bits: int = 0,
 ):
     num_tiles = gx * gy
     m = inst_data.shape[1]
+    is_packed = inst_data.dtype == jnp.int32
+    in_rows = tiling.NP_FIELDS if is_packed else NUM_FIELDS
+    in_dtype = jnp.int32 if is_packed else jnp.float32
+    pack_grads = _PACK_GRADS[0]
+    g_rows = tiling.NP_FIELDS if pack_grads else NUM_FIELDS
+    g_dtype = jnp.int32 if pack_grads else jnp.float32
     zero_row = jnp.zeros_like(D)[None]
     fwd_packed = _planes_to_tiles(
         jnp.concatenate([C, D[None], A[None], zero_row, zero_row, zero_row], 0), gx, gy
@@ -554,21 +696,32 @@ def _run_bwd(
     cot_packed = _planes_to_tiles(
         jnp.concatenate([dC, dD[None], dA[None], zero_row, zero_row, zero_row], 0), gx, gy
     )
-    kernel = functools.partial(_bwd_kernel, gx=gx)
+    zero = jnp.float32(0.0)
+    dparams = jnp.stack([
+        zero, zero, zero,
+        zero if depth_dmin is None else depth_dmin,
+        zero if depth_dstep is None else depth_dstep,
+        zero, zero, zero,
+    ]).reshape(8, 1)
+    kernel = functools.partial(
+        _bwd_kernel, gx=gx, packed=is_packed, depth_bits=depth_bits,
+        pack_grads=pack_grads,
+    )
     bmap = lambda t, *_: (t, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, TILE_PIX), bmap),
             pl.BlockSpec((1, 8, TILE_PIX), bmap),
             pl.BlockSpec(memory_space=pl.ANY),  # zeroed grad buffer (aliased)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),
-            pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, in_rows, CHUNK), in_dtype),
+            pltpu.VMEM((2, g_rows, CHUNK), g_dtype),
             pltpu.VMEM((8, TILE_PIX), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -577,17 +730,18 @@ def _run_bwd(
     )
     # The grad output lives in ANY/HBM and the kernel only writes the chunks
     # the early exit visits; alias it to a zeros input so skipped chunks are
-    # zero, not uninitialized HBM (input index 5 counts the two
+    # zero, not uninitialized HBM (input index 6 counts the two
     # scalar-prefetch operands).
-    grad_zeros = jnp.zeros((NUM_FIELDS, m), jnp.float32)
+    grad_zeros = jnp.zeros((g_rows, m), g_dtype)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NUM_FIELDS, m), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g_rows, m), g_dtype),
         interpret=_INTERPRET[0],
-        input_output_aliases={5: 0},
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_count, inst_data, fwd_packed, cot_packed, grad_zeros)
+    )(tile_start, tile_count, inst_data, dparams, fwd_packed, cot_packed,
+      grad_zeros)
 
 
 # ----------------------------------------------------------------------------
@@ -617,10 +771,8 @@ def _reduce_per_gaussian(grad_inst: jnp.ndarray, binning) -> jnp.ndarray:
     """
     n = binning.gauss_cum.shape[0]
     if _PACK_GRADS[0]:
-        packed = tuple(
-            tiling._pack_bf16(grad_inst[2 * i], grad_inst[2 * i + 1])
-            for i in range(5)
-        )
+        # the bwd kernel already emitted bf16-pair int32 rows (rows 0-4)
+        packed = tuple(grad_inst[i] for i in range(5))
         sorted_ops = jax.lax.sort(
             (binning.inst_gauss,) + packed, num_keys=1, is_stable=True
         )
@@ -696,6 +848,8 @@ def _raster_fwd_impl(
     C, D, A = _run_fwd(
         binning.inst_data, binning.tile_start, binning.tile_count, bg,
         binning.grid_x, binning.grid_y,
+        depth_dmin=binning.depth_dmin, depth_dstep=binning.depth_dstep,
+        depth_bits=binning.depth_bits,
     )
     color = C[:, :height, :width]
     depth = D[:height, :width]
@@ -738,6 +892,8 @@ def _raster_fwd(static_cfg, height, width, *args):
     C, D, A = _run_fwd(
         binning.inst_data, binning.tile_start, binning.tile_count, bg,
         binning.grid_x, binning.grid_y,
+        depth_dmin=binning.depth_dmin, depth_dstep=binning.depth_dstep,
+        depth_bits=binning.depth_bits,
     )
     color = C[:, :height, :width]
     depth = D[:height, :width]
@@ -767,6 +923,8 @@ def _raster_bwd(static_cfg, height, width, res, cotangents):
     grad_inst = _run_bwd(
         binning.inst_data, binning.tile_start, binning.tile_count,
         C, D, A, dC, dD, dA, gx, gy,
+        depth_dmin=binning.depth_dmin, depth_dstep=binning.depth_dstep,
+        depth_bits=binning.depth_bits,
     )
 
     acc = _reduce_per_gaussian(grad_inst, binning)

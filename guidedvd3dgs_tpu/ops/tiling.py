@@ -39,7 +39,7 @@ drops (rasterizer_impl.cu:278-309).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -97,15 +97,25 @@ def _unpack_bf16(p: "jnp.ndarray"):
     return a, b
 
 
-NUM_FIELDS = 16  # packed per-instance rows (11 used, padded for tiling)
-# field row indices in the packed instance array; F_ONE is a constant-1 row
-# so the blend kernels can fuse [colors, depth, 1] x w accumulations into a
-# single MXU matmul (alpha accumulation rides the ones row)
+NUM_FIELDS = 16  # exact-mode per-instance rows (11 used, padded for tiling)
+# field row indices in the exact-mode instance array; F_ONE is a constant-1
+# row so the blend kernels can fuse [colors, depth, 1] x w accumulations
+# into a single MXU matmul (alpha accumulation rides the ones row)
 F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_D, F_ONE = range(11)
+# packed-mode rows (all int32): bitcast f32 geometry + two f16 pairs + key
+NP_FIELDS = 8
+P_MX, P_MY, P_CA, P_CB, P_CC, P_OPR, P_GB, P_KEY = range(8)
 
 
 class TileBinning(NamedTuple):
-    inst_data: jnp.ndarray  # (NUM_FIELDS, M_pad) float32, packed render fields
+    # packed mode (_PACK_FIELDS): (NP_FIELDS, M_pad) int32 — rows 0-4 are
+    # bitcast f32 mx/my/ca/cb/cc, row 5 = f16(op)|f16(r), row 6 =
+    # f16(g)|f16(b), row 7 = sort key (depth in low bits); the blend
+    # kernels unpack in-register, so the post-sort assembly is one stack
+    # of sort outputs with no unpack/repack pass and the kernel DMA
+    # stream is half the 16-row layout.
+    # exact mode: (NUM_FIELDS, M_pad) float32 unpacked render fields.
+    inst_data: jnp.ndarray
     inst_gauss: jnp.ndarray  # (M_pad,) int32 gaussian index (N => padding)
     tile_start: jnp.ndarray  # (num_tiles,) int32, CHUNK-aligned
     tile_count: jnp.ndarray  # (num_tiles,) int32
@@ -115,6 +125,10 @@ class TileBinning(NamedTuple):
     gauss_cum: jnp.ndarray  # (N,) int32 inclusive per-Gaussian slot cumsum
     grid_x: int
     grid_y: int
+    # depth dequantization for packed mode: depth = dmin + (dq + 0.5) * dstep
+    depth_dmin: Optional[jnp.ndarray] = None  # () f32
+    depth_dstep: Optional[jnp.ndarray] = None  # () f32
+    depth_bits: int = 0  # static; 0 => exact (unpacked) layout
 
 
 def tile_rects(proc: ProcessedGaussians, width: int, height: int):
@@ -243,27 +257,50 @@ def bin_gaussians(
 
     key_op = jnp.concatenate([keys, tail_key])
     gs_op = jnp.concatenate([gs, jnp.full((pad_cap,), n, jnp.int32)])
+    m_pad = m + pad_cap
+    dstep = drange / dscale
     if _PACK_FIELDS[0]:
         # opacity + RGB ride two f16-packed int32 payloads (9 -> 7 payload
         # operands): f16 keeps ~2^-11 relative — invisible against the 8-bit
-        # render targets — while means/conics stay exact f32
+        # render targets — while means/conics stay exact f32. The sorted
+        # operands become the instance buffer AS-IS (geometry rows bitcast
+        # to i32, key row carried for in-kernel depth dequantization): no
+        # unpack/repack pass, and the blend kernels stream 8 rows not 16.
         p0 = _pack_f16(cat(F_OP), cat(F_R))
         p1 = _pack_f16(cat(F_G), cat(F_B))
         ops = (key_op, gs_op) + tuple(cat(i) for i in range(F_OP)) + (p0, p1)
         sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
-        op_row, r_row = _unpack_f16(sorted_ops[7])
-        g_row, b_row = _unpack_f16(sorted_ops[8])
-        field_rows = list(sorted_ops[2:7]) + [op_row, r_row, g_row, b_row]
-    else:
-        ops = (key_op, gs_op) + tuple(cat(i) for i in range(F_D))
-        sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
-        field_rows = list(sorted_ops[2:])
+        inst_gauss = sorted_ops[1]
+        geom = [
+            jax.lax.bitcast_convert_type(sorted_ops[2 + i], jnp.int32)
+            for i in range(5)
+        ]
+        inst_data = jnp.stack(
+            geom + [sorted_ops[7], sorted_ops[8], sorted_ops[0]], axis=0
+        )  # (NP_FIELDS, m_pad) int32
+        return TileBinning(
+            inst_data=inst_data,
+            inst_gauss=inst_gauss,
+            tile_start=tile_start,
+            tile_count=tile_count,
+            num_instances=total,
+            overflow=jnp.maximum(total - m, 0).astype(jnp.int32),
+            gauss_offset=offsets,
+            gauss_cum=cum,
+            grid_x=gx,
+            grid_y=gy,
+            depth_dmin=dmin,
+            depth_dstep=dstep,
+            depth_bits=depth_bits,
+        )
+    ops = (key_op, gs_op) + tuple(cat(i) for i in range(F_D))
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    field_rows = list(sorted_ops[2:])
     inst_gauss = sorted_ops[1]
-    m_pad = m + pad_cap
     dq_sorted = (sorted_ops[0] & jnp.int32((1 << depth_bits) - 1)).astype(
         jnp.float32
     )
-    depth_row = dmin + (dq_sorted + 0.5) * (drange / dscale)
+    depth_row = dmin + (dq_sorted + 0.5) * dstep
     ones_row = jnp.ones((1, m_pad), jnp.float32)  # F_ONE: fused-accumulate row
     inst_data = jnp.concatenate(
         [
