@@ -175,32 +175,38 @@ def main():
 
     timeit("  post-sort assembly", assemble, sorted_ops)
 
-    # --- blend kernels ---
+    # --- blend kernels --- (inst_data is int32 in packed mode: perturb by
+    # xor-ing a zero so the scan can't hoist, keeping bit patterns intact)
+    def jiggle(inst, e):
+        return inst ^ (e * 0).astype(jnp.int32)
+
+    dp = dict(depth_dmin=binning.depth_dmin, depth_dstep=binning.depth_dstep,
+              depth_bits=binning.depth_bits)
+
     def fwd_kernel_only(e, b_inst, b_start, b_count):
-        return rt._run_fwd(b_inst + e, b_start, b_count, bg, GX, GY)
+        return rt._run_fwd(jiggle(b_inst, e), b_start, b_count, bg, GX, GY, **dp)
 
     timeit("fwd blend kernel", fwd_kernel_only, binning.inst_data,
            binning.tile_start, binning.tile_count)
 
-    C, D, A = jax.jit(lambda i, s, c: rt._run_fwd(i, s, c, bg, GX, GY))(
+    C, D, A = jax.jit(lambda i, s, c: rt._run_fwd(i, s, c, bg, GX, GY, **dp))(
         binning.inst_data, binning.tile_start, binning.tile_count)
     dC, dD, dA = jnp.ones_like(C), jnp.ones_like(D), jnp.ones_like(A)
 
     def bwd_kernel_only(e, inst, start, count, C, D, A):
-        return rt._run_bwd(inst + e, start, count, C, D, A, dC, dD, dA, GX, GY)
+        return rt._run_bwd(jiggle(inst, e), start, count, C, D, A, dC, dD, dA,
+                           GX, GY, **dp)
 
     timeit("bwd blend kernel", bwd_kernel_only, binning.inst_data,
            binning.tile_start, binning.tile_count, C, D, A)
 
     grad_inst = jax.jit(
-        lambda i, s, c, C, D, A: rt._run_bwd(i, s, c, C, D, A, dC, dD, dA, GX, GY)
+        lambda i, s, c, C, D, A: rt._run_bwd(i, s, c, C, D, A, dC, dD, dA,
+                                             GX, GY, **dp)
     )(binning.inst_data, binning.tile_start, binning.tile_count, C, D, A)
 
     def reduce_sort_only(e, grad_inst, inst_gauss):
-        packed = tuple(
-            tiling._pack_bf16(grad_inst[2 * i] + e, grad_inst[2 * i + 1])
-            for i in range(5)
-        )
+        packed = tuple(jiggle(grad_inst[i], e) for i in range(5))
         return jax.lax.sort((inst_gauss,) + packed, num_keys=1, is_stable=True)
 
     timeit("reduce sort (6 operands)", reduce_sort_only, grad_inst, binning.inst_gauss)

@@ -69,25 +69,31 @@ def binning_total(e, p):
     return tiling.bin_gaussians(p, W, H, M)
 timeit("binning TOTAL", binning_total, proc)
 
+dp = dict(depth_dmin=binning.depth_dmin, depth_dstep=binning.depth_dstep,
+          depth_bits=binning.depth_bits)
+
+def jiggle(inst, e):
+    return inst ^ (e * 0).astype(jnp.int32)
+
 def fwd_kernel_only(e, b_inst, b_start, b_count):
-    return rt._run_fwd(b_inst + e, b_start, b_count, bg, GX, GY)
+    return rt._run_fwd(jiggle(b_inst, e), b_start, b_count, bg, GX, GY, **dp)
 timeit("fwd blend kernel", fwd_kernel_only, binning.inst_data,
        binning.tile_start, binning.tile_count)
 
-C, D, A = jax.jit(lambda i, s, c: rt._run_fwd(i, s, c, bg, GX, GY))(
+C, D, A = jax.jit(lambda i, s, c: rt._run_fwd(i, s, c, bg, GX, GY, **dp))(
     binning.inst_data, binning.tile_start, binning.tile_count)
 dC, dD, dA = jnp.ones_like(C), jnp.ones_like(D), jnp.ones_like(A)
 
 def bwd_kernel_only(e, inst, start, count, C, D, A):
-    return rt._run_bwd(inst + e, start, count, C, D, A, dC, dD, dA, GX, GY)
+    return rt._run_bwd(jiggle(inst, e), start, count, C, D, A, dC, dD, dA, GX, GY, **dp)
 timeit("bwd blend kernel", bwd_kernel_only, binning.inst_data,
        binning.tile_start, binning.tile_count, C, D, A)
 
-grad_inst = jax.jit(lambda i, s, c, C, D, A: rt._run_bwd(i, s, c, C, D, A, dC, dD, dA, GX, GY))(
+grad_inst = jax.jit(lambda i, s, c, C, D, A: rt._run_bwd(i, s, c, C, D, A, dC, dD, dA, GX, GY, **dp))(
     binning.inst_data, binning.tile_start, binning.tile_count, C, D, A)
 
 def reduce_only(e, grad_inst, binning):
-    return rt._reduce_per_gaussian(grad_inst + e, binning)
+    return rt._reduce_per_gaussian(jiggle(grad_inst, e), binning)
 timeit("reduce (sort+segsum)", reduce_only, grad_inst, binning)
 
 def loss(m, s, r, o, sh):
