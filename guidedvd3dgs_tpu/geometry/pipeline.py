@@ -91,14 +91,18 @@ def run_dust3r_scene(
     edges = make_pairs(v)
     norm = jnp.asarray(normalize_images(images))
 
-    apply_fn = jax.jit(lambda a, b: dust3r_apply(params, cfg, a, b))
+    # params is a jit ARGUMENT: closing the ViT-L weights (~1.3 GB) into
+    # the lambda would embed them as lowering constants (oversized
+    # executables; breaks the remote-compile transport — same class as the
+    # diffusion-synthesis capture fixed in train/guided.py)
+    apply_fn = jax.jit(lambda p, a, b: dust3r_apply(p, cfg, a, b))
 
     pred_i, pred_j, conf_i, conf_j = [], [], [], []
     for s in range(0, len(edges), batch_pairs):
         chunk = edges[s : s + batch_pairs]
         i1 = norm[jnp.asarray([i for i, j in chunk])]
         i2 = norm[jnp.asarray([j for i, j in chunk])]
-        o1, o2 = apply_fn(i1, i2)
+        o1, o2 = apply_fn(params, i1, i2)
         pred_i.append(np.asarray(o1["pts3d"]))
         pred_j.append(np.asarray(o2["pts3d"]))
         conf_i.append(np.asarray(o1["conf"]))

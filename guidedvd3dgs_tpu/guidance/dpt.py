@@ -211,12 +211,17 @@ def make_depth_estimator(params: Params, cfg: DPTConfig = DPTConfig(),
     inverse depth at the input resolution` — the guided trainer's
     depth_estimator hook (train/guided.py run_diffusion_event)."""
 
+    # params is a jit ARGUMENT (closing the DPT-large weights into the jit
+    # would embed ~1.3 GB as lowering constants — see train/guided.py)
     @jax.jit
-    def estimator(frames):
+    def _run(p, frames):
         t, h0, w0 = frames.shape[0], frames.shape[1], frames.shape[2]
         x = midas_preprocess(frames, height, width)
-        d = dpt_forward(params, cfg, x)
+        d = dpt_forward(p, cfg, x)
         return jax.image.resize(d, (t, h0, w0), "bilinear")
+
+    def estimator(frames):
+        return _run(params, frames)
 
     return estimator
 

@@ -415,9 +415,18 @@ class ViewCrafterEngine:
         from guidedvd3dgs_tpu.diffusion.model import decode_video_frames
         from guidedvd3dgs_tpu.utils.video import save_video
 
+        dec = self._synth_cache.get("decode")
+        if dec is None:
+            # params as a jit argument: the eager per-frame decode scan
+            # would close over the weights as embedded constants (see
+            # _synth_jit) — one cached compile serves every debug dump
+            dec = jax.jit(
+                lambda p, z: decode_video_frames(p, self.mcfg, z)
+            )
+            self._synth_cache["decode"] = dec
         s = int(trace.shape[0])
         for i in range(s):
-            fr = decode_video_frames(self.params, self.mcfg, trace[i])
+            fr = dec(self.params, trace[i])
             fr = np.asarray(jnp.clip((fr + 1.0) / 2.0, 0.0, 1.0))
             save_video(fr, f"{self.save_pred_x0_dir}/pred_x0_step{s - 1 - i:03d}.mp4")
 
