@@ -393,6 +393,10 @@ def _run_fwd(inst_data, tile_start, tile_count, bg, gx: int, gy: int,
              depth_dmin=None, depth_dstep=None, depth_bits: int = 0):
     num_tiles = gx * gy
     is_packed = inst_data.dtype == jnp.int32
+    assert is_packed == (depth_bits > 0), (
+        "packed int32 instance buffers require the binning's depth params "
+        "(depth_dmin/depth_dstep/depth_bits)"
+    )
     nrows = tiling.NP_FIELDS if is_packed else NUM_FIELDS
     dtype = jnp.int32 if is_packed else jnp.float32
     kernel = functools.partial(
@@ -684,6 +688,9 @@ def _run_bwd(
     num_tiles = gx * gy
     m = inst_data.shape[1]
     is_packed = inst_data.dtype == jnp.int32
+    assert is_packed == (depth_bits > 0), (
+        "packed int32 instance buffers require the binning's depth params"
+    )
     in_rows = tiling.NP_FIELDS if is_packed else NUM_FIELDS
     in_dtype = jnp.int32 if is_packed else jnp.float32
     pack_grads = _PACK_GRADS[0]
