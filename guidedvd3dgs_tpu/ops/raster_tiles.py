@@ -228,13 +228,18 @@ def _chunk_blend_quantities(cols, valid, pixx, pixy, T_in, done_in):
     # (log-transmittance errors ~0.4%), but the 0/1 tril side is bf16-exact,
     # so splitting ONLY the lom side gives exact-f32 accuracy in 3 MXU
     # passes (HIGHEST spends 6 splitting both). In production mode
-    # (_PACK_FIELDS on — fields already carry f16 noise larger than this)
-    # the split is skipped entirely: bf16 rounding of lom adds <= 0.4%
-    # relative on the log-transmittance prefix, which only shifts the
-    # T < 1e-4 termination boundary (per-chunk T_out carry below stays
-    # exact VPU f32, so the error does NOT compound across chunks). The
-    # trigger prefix below is 0/1 on both sides and stays at default
-    # precision (1 pass) always.
+    # (_PACK_FIELDS on — fields already carry f16 noise of the same order)
+    # the split is skipped: bf16 rounding of the lom operand perturbs
+    # cum_incl, which feeds T_before and hence EVERY blend weight
+    # w = alpha * T_before in the chunk — up to ~|log T| * 2^-9 relative
+    # weight error for instances deep in a chunk (~1-2% where T nears the
+    # 1e-4 cutoff), not just the termination boundary. The per-chunk T_out
+    # carry stays exact VPU f32, so the error does not compound across
+    # chunks. tools/check_packed_parity_onchip.py prices this tradeoff
+    # against the exact mode on real hardware (the interpret-mode parity
+    # tests compute exact f32 dots and never exercise it). The trigger
+    # prefix below is 0/1 on both sides and stays at default precision
+    # (1 pass) always.
     if tiling._PACK_FIELDS[0]:
         cum_incl = jax.lax.dot(tril, lom, preferred_element_type=jnp.float32)
     else:
@@ -983,9 +988,9 @@ def rasterize_tiles(
     n = means3d.shape[0]
     if max_instances <= 0:
         max_instances = max(4 * n, 1 << 14)
-    # tiling.bin_gaussians requires 1024-multiples (covers expand.BLK and
-    # segsum.BBLK at any of their tuned values)
-    max_instances = -(-max_instances // 1024) * 1024
+    # tiling.bin_gaussians requires QUANTUM-multiples (lcm of expand.BLK,
+    # segsum.BBLK and CHUNK at whatever values the GVD_* envs tuned them to)
+    max_instances = -(-max_instances // tiling.QUANTUM) * tiling.QUANTUM
 
     static_cfg = (
         sh_degree,

@@ -45,15 +45,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from guidedvd3dgs_tpu.ops import cumsum, expand
+from guidedvd3dgs_tpu.ops import cumsum, expand, segsum
 from guidedvd3dgs_tpu.ops.projection import ProcessedGaussians
 
+import math as _math
 import os as _os
 
 TILE = 16  # matches reference BLOCK_X/BLOCK_Y (config.h:16-17)
 # kernel streaming granularity; tile segments are CHUNK-aligned.
 # Env override for on-chip tuning sweeps.
 CHUNK = int(_os.environ.get("GVD_RASTER_CHUNK", "128"))
+# Capacity / padding quantum: buffer sizes must be simultaneously block
+# multiples of the expand grid, the segsum grid, and the raster chunk.
+# Derived (not the historic literal 1024) so the GVD_* env overrides cannot
+# silently mis-size the kernel grids (ADVICE r2 #3).
+QUANTUM = _math.lcm(expand.BLK, segsum.BBLK, CHUNK, 128)
 # Carry opacity+RGB through the binning sort as two f16-packed int32
 # payloads instead of four f32 operands (sort payloads cost ~2.2 ms each at
 # M=2.5M). f16 keeps ~2^-11 relative on values in [0, ~4] — far below the
@@ -66,8 +72,19 @@ def set_pack_fields(flag: bool) -> None:
     _PACK_FIELDS[0] = flag
 
 
+_F16_MAX = 65504.0  # largest finite f16
+
+
 def _pack_f16(a: "jnp.ndarray", b: "jnp.ndarray") -> "jnp.ndarray":
-    """Two f32 rows -> one int32 row of (f16(a) << 16) | f16(b)."""
+    """Two f32 rows -> one int32 row of (f16(a) << 16) | f16(b). Inputs are
+    clamped to the finite f16 range first: astype(float16) saturates |x| >
+    65504 to inf, and the in-kernel integer decode (raster_tiles.
+    _f16_bits_to_f32) maps e==31 bit patterns to large FINITE values — an
+    exploding color/opacity must propagate as a huge finite value (still
+    trips the NaN/Inf guard-rails downstream via the loss), never as a
+    silently-wrong small one."""
+    a = jnp.clip(a, -_F16_MAX, _F16_MAX)
+    b = jnp.clip(b, -_F16_MAX, _F16_MAX)
     ah = jax.lax.bitcast_convert_type(a.astype(jnp.float16), jnp.uint16)
     bh = jax.lax.bitcast_convert_type(b.astype(jnp.float16), jnp.uint16)
     return (ah.astype(jnp.int32) << 16) | bh.astype(jnp.int32)
@@ -172,10 +189,10 @@ def bin_gaussians(
     rmx, rmy, rw, rh, count, gx, gy = tile_rects(proc, width, height)
     num_tiles = gx * gy
     m = max_instances
-    assert m % 1024 == 0, m  # lcm of expand.BLK and segsum.BBLK
+    assert m % QUANTUM == 0, (m, QUANTUM)
     # rounded up so m_pad stays a segsum-block multiple; the excess slots
     # fall past every tile's pad quota and get the dead key
-    pad_cap = -(-num_tiles * CHUNK // 1024) * 1024
+    pad_cap = -(-num_tiles * CHUNK // QUANTUM) * QUANTUM
     # integer-valued table rows ride f32 lanes through the expansion kernel
     # and instance positions ride f32 cumsum exactness in the reduce
     assert m + pad_cap < (1 << 24), "instance capacity exceeds f32 exactness"

@@ -58,6 +58,11 @@ for stage in "${stages[@]}"; do
             || echo "knn scale FAILED" >&2
         mirror KNN_SCALE.json
         ;;
+    parity)
+        timeout 3600 python tools/check_packed_parity_onchip.py \
+            || echo "packed parity FAILED" >&2
+        mirror PACKED_PARITY.json
+        ;;
     e2e)
         if [ ! -d "$src" ]; then
             echo "generating synthetic scene at $src"
