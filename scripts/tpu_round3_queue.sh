@@ -111,8 +111,16 @@ for stage in "${stages[@]}"; do
         mirror WALLCLOCK_PROJECTION.txt
         ;;
     overlap)
+        # self-sufficient: regenerate scene + baseline if a reboot wiped /tmp
+        if [ ! -d "$src" ]; then
+            echo "generating synthetic scene at $src"
+            timeout 3600 python tools/make_synthetic_scene.py --out "$src" || continue
+        fi
         if [ ! -f "$base/point_cloud/iteration_10000/point_cloud.ply" ]; then
-            echo "overlap needs the e2e baseline — skipping" >&2; continue
+            echo "training baseline first (scripts/run_synthetic_e2e.sh)"
+            timeout 14400 bash scripts/run_synthetic_e2e.sh "$src" "$base" \
+                || { echo "baseline FAILED" >&2; continue; }
+            mirror "$base/results.json"; mirror "$base/timing_summary.json"
         fi
         bash scripts/measure_pipeline_overlap.sh \
             || echo "overlap FAILED" >&2
