@@ -77,9 +77,20 @@ def _guided_step(
     t = jnp.broadcast_to(pr.timesteps[index], (b,))
     rescale = pr.scale_arr_prev[index] / pr.scale_arr[index]
 
+    # jax.checkpoint: the later vjp through this pair must not store the
+    # block-boundary activations of TWO full UNet passes — at the production
+    # shape (25x40x56, model_channels 320) those residuals alone exceed the
+    # v5e's 16 GB HBM (measured: stage B of tools/diffusion_fullsize_smoke.py
+    # OOMed without this). Recompute costs one extra fwd per branch in the
+    # backward; the reference instead autocasts + keeps torch autograd state
+    # on a 32 GB V100 (README "peak memory ... 32G").
+    _apply_ckpt = jax.checkpoint(
+        lambda xv_, c_: apply_model(params, mcfg, xv_, t, c_)
+    )
+
     def pred_x0_of_x(xv):
-        v_cond = apply_model(params, mcfg, xv, t, cond)
-        v_uncond = apply_model(params, mcfg, xv, t, uncond)
+        v_cond = _apply_ckpt(xv, cond)
+        v_uncond = _apply_ckpt(xv, uncond)
         mo = v_uncond + scfg.cfg_scale * (v_cond - v_uncond)
         mo = rescale_noise_cfg(mo, v_cond, scfg.guidance_rescale)
         px0 = predict_start_from_z_and_v(sched, xv, t, mo) * rescale

@@ -42,8 +42,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from guidedvd3dgs_tpu.ops import expand, segsum, tiling
-from guidedvd3dgs_tpu.ops.projection import RasterCamera, preprocess_gaussians
+from guidedvd3dgs_tpu.ops import expand, preprocess_pallas, segsum, tiling
+from guidedvd3dgs_tpu.ops.projection import (
+    ProcessedGaussians,
+    RasterCamera,
+    preprocess_gaussians,
+)
 from guidedvd3dgs_tpu.ops.raster_dense import RenderOutput
 from guidedvd3dgs_tpu.ops.tiling import (
     CHUNK,
@@ -81,6 +85,25 @@ def set_interpret(flag: bool):
     _INTERPRET[0] = flag
     expand.set_interpret(flag)
     segsum.set_interpret(flag)
+    preprocess_pallas.set_interpret(flag)
+
+
+# Fused Pallas preprocess (ops/preprocess_pallas.py): streams each Gaussian
+# block through VMEM once instead of XLA's fragmented elementwise fusions
+# (6.3 ms fwd / +4.2 ms vjp at 1M — docs/PERF_NOTES.md "preprocess mystery"),
+# and its VJP twin recomputes in-kernel so no linearization residuals touch
+# HBM. Only the SH production path is implemented; precomputed-color /
+# precomputed-cov3d calls fall back to the XLA preprocess.
+_FUSED_PREPROC = [True]
+
+
+def set_fused_preproc(flag: bool) -> None:
+    _FUSED_PREPROC[0] = flag
+
+
+def _use_fused(static_cfg) -> bool:
+    has_sh, has_cpre, has_cov = static_cfg[3], static_cfg[4], static_cfg[5]
+    return _FUSED_PREPROC[0] and has_sh and not has_cpre and not has_cov
 
 
 def _split3(x):
@@ -812,17 +835,52 @@ def _preproc_screen(
     means2d_offset, cam, sh_degree, scale_modifier, active_mask,
     active_degree=None,
 ):
-    proc = preprocess_gaussians(
-        means3d, scales, rotations, opacities, shs, cam,
-        sh_degree=sh_degree, scale_modifier=scale_modifier,
-        colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
-        active_mask=active_mask, active_degree=active_degree,
-    )
+    if (_FUSED_PREPROC[0] and shs is not None and colors_precomp is None
+            and cov3d_precomp is None):
+        proc = _preproc_fused(
+            means3d, scales, rotations, opacities, shs, cam,
+            sh_degree, scale_modifier, active_mask, active_degree,
+        )
+    else:
+        proc = preprocess_gaussians(
+            means3d, scales, rotations, opacities, shs, cam,
+            sh_degree=sh_degree, scale_modifier=scale_modifier,
+            colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
+            active_mask=active_mask, active_degree=active_degree,
+        )
     means2d = proc.means2d
     if means2d_offset is not None:
         off_scale = jnp.array([0.5 * cam.width, 0.5 * cam.height], means2d.dtype)
         means2d = means2d + means2d_offset * off_scale
     return (means2d, proc.depths, proc.conics, proc.colors, proc.opacities), proc
+
+
+def _preproc_fused(
+    means3d, scales, rotations, opacities, shs, cam,
+    sh_degree, scale_modifier, active_mask, active_degree,
+):
+    """ProcessedGaussians view of the fused-kernel (16, N) table. The
+    row-stacks below are pure dataflow XLA fuses into the binner's table
+    build; nothing preprocess-sized is materialized twice."""
+    tab = preprocess_pallas.preprocess_fused_fwd(
+        means3d, scales, rotations, opacities, shs, cam,
+        sh_degree, scale_modifier, active_degree=active_degree,
+    )
+    visible = tab[11] > 0.5
+    if active_mask is not None:
+        visible = visible & active_mask
+    radii = jnp.where(visible, tab[10], 0.0).astype(jnp.int32)
+    return ProcessedGaussians(
+        means2d=jnp.stack([tab[0], tab[1]], axis=-1),
+        depths=tab[9],
+        conics=jnp.stack([tab[2], tab[3], tab[4]], axis=-1),
+        radii=radii,
+        colors=jnp.stack([tab[6], tab[7], tab[8]], axis=-1),
+        opacities=tab[5],
+        visible=visible,
+        ext_x=tab[12],
+        ext_y=tab[13],
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -877,10 +935,20 @@ def _raster_fwd_impl(
 
 
 def _raster_fwd(static_cfg, height, width, *args):
-    """AD-path forward: preprocess runs under jax.vjp so its linearization
-    residuals are SAVED for the backward instead of re-running the whole
-    preprocess forward there (the reference CUDA backward also reuses
-    forward state, backward.cu:416-455)."""
+    """AD-path forward.
+
+    Fused-preprocess mode (the SH production path): the forward is the
+    primal `_raster_fwd_impl` — residuals are the raw Gaussian parameters,
+    and the backward recomputes the preprocess linearization INSIDE the
+    fused VJP kernel (ops/preprocess_pallas.py), so no linearization
+    residuals ever touch HBM.
+
+    XLA fallback (precomputed color/cov3d): preprocess runs under jax.vjp so
+    its linearization residuals are SAVED for the backward instead of
+    re-running the whole preprocess forward there (the reference CUDA
+    backward also reuses forward state, backward.cu:416-455)."""
+    if _use_fused(static_cfg):
+        return _raster_fwd_impl(static_cfg, height, width, *args)
     sh_degree, scale_modifier, max_instances, *_ = static_cfg
     (
         means3d, scales, rotations, opacities, shs, colors_precomp, cov3d_precomp,
@@ -920,10 +988,19 @@ def _raster_fwd(static_cfg, height, width, *args):
 
 def _raster_bwd(static_cfg, height, width, res, cotangents):
     sh_degree, scale_modifier, max_instances, has_sh, has_cpre, has_cov, has_off = static_cfg
-    (
-        binning, C, D, A, pre_vjp,
-        viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_degree,
-    ) = res
+    fused = _use_fused(static_cfg)
+    if fused:
+        (
+            binning, C, D, A,
+            means3d, scales, rotations, opacities, shs, _cpre, _cov,
+            means2d_offset, viewmatrix, projmatrix, campos, tanfovx, tanfovy,
+            bg, active_mask, active_degree,
+        ) = res
+    else:
+        (
+            binning, C, D, A, pre_vjp,
+            viewmatrix, projmatrix, campos, tanfovx, tanfovy, bg, active_degree,
+        ) = res
     dcolor, ddepth, dalpha, _dradii, _ddiag = cotangents
 
     gy, gx = binning.grid_y, binning.grid_x
@@ -940,14 +1017,35 @@ def _raster_bwd(static_cfg, height, width, res, cotangents):
     )
 
     acc = _reduce_per_gaussian(grad_inst, binning)
-    d_m2d = acc[0:2].T
-    d_conic = acc[2:5].T
-    d_opac = acc[F_OP]
-    d_color = acc[F_R : F_R + 3].T
-    d_depth = acc[F_D]
+    if fused:
+        # acc rows 0-9 are already the F_*-ordered field cotangents the
+        # fused VJP kernel consumes; the screen-offset is additive on the
+        # mean rows, so its gradient is the same rows rescaled.
+        cam = RasterCamera(
+            viewmatrix, projmatrix, campos, tanfovx, tanfovy, height, width
+        )
+        g_means3d, g_scales, g_rots, g_opac, g_shs = (
+            preprocess_pallas.preprocess_fused_bwd(
+                means3d, scales, rotations, opacities, shs, cam,
+                sh_degree, scale_modifier, acc[0:10],
+                active_degree=active_degree,
+            )
+        )
+        g_cpre = g_cov = None
+        g_off = None
+        if has_off:
+            g_off = jnp.stack(
+                [acc[0] * (0.5 * width), acc[1] * (0.5 * height)], axis=-1
+            ).astype(means2d_offset.dtype)
+    else:
+        d_m2d = acc[0:2].T
+        d_conic = acc[2:5].T
+        d_opac = acc[F_OP]
+        d_color = acc[F_R : F_R + 3].T
+        d_depth = acc[F_D]
 
-    grads = pre_vjp((d_m2d, d_depth, d_conic, d_color, d_opac))
-    (g_means3d, g_scales, g_rots, g_opac, g_shs, g_cpre, g_cov, g_off) = grads
+        grads = pre_vjp((d_m2d, d_depth, d_conic, d_color, d_opac))
+        (g_means3d, g_scales, g_rots, g_opac, g_shs, g_cpre, g_cov, g_off) = grads
 
     zero_like = lambda x: None if x is None else jnp.zeros_like(x)
     return (

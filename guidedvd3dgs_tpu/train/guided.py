@@ -413,7 +413,7 @@ class ViewCrafterEngine:
         (viewcrafter_wrapper.py:188-192 pred_x0_video_{index}). Debug path:
         one decode dispatch per step, host loop."""
         from guidedvd3dgs_tpu.diffusion.model import decode_video_frames
-        from guidedvd3dgs_tpu.utils.video import save_video
+        from guidedvd3dgs_tpu.utils.video import artifact_writer, save_video
 
         dec = self._synth_cache.get("decode")
         if dec is None:
@@ -428,7 +428,10 @@ class ViewCrafterEngine:
         for i in range(s):
             fr = dec(self.params, trace[i])
             fr = np.asarray(jnp.clip((fr + 1.0) / 2.0, 0.0, 1.0))
-            save_video(fr, f"{self.save_pred_x0_dir}/pred_x0_step{s - 1 - i:03d}.mp4")
+            artifact_writer.submit(
+                save_video, fr,
+                f"{self.save_pred_x0_dir}/pred_x0_step{s - 1 - i:03d}.mp4",
+            )
 
 
 # ----------------------------------------------------------------------------
@@ -1067,16 +1070,26 @@ class GuidedTrainer(BaselineTrainer):
             _t_frozen += _time.time() - _t
             _t = _time.time()
             # the reference's primary visual debugging artifacts
-            # (train_guidedvd.py:531-542, viewcrafter_wrapper.py:542)
-            from guidedvd3dgs_tpu.utils.video import save_video
+            # (train_guidedvd.py:531-542, viewcrafter_wrapper.py:542).
+            # Only the device->host pulls happen here; the mp4 encodes run
+            # on the artifact-writer thread and overlap the next train
+            # chunk (drained by _write_timing_summary).
+            from guidedvd3dgs_tpu.utils.video import artifact_writer, save_video
 
-            save_video(np.asarray(pc_renders), f"{event_dir}/render0.mp4")
-            save_video(np.transpose(np.asarray(gs_rgb), (0, 2, 3, 1)),
-                       f"{event_dir}/gs_render.mp4")
-            save_video(np.asarray(gs_alpha)[:, 0], f"{event_dir}/gs_render_alpha.mp4")
+            artifact_writer.submit(
+                save_video, np.asarray(pc_renders), f"{event_dir}/render0.mp4"
+            )
+            artifact_writer.submit(
+                save_video, np.transpose(np.asarray(gs_rgb), (0, 2, 3, 1)),
+                f"{event_dir}/gs_render.mp4",
+            )
+            artifact_writer.submit(
+                save_video, np.asarray(gs_alpha)[:, 0],
+                f"{event_dir}/gs_render_alpha.mp4",
+            )
             d = np.asarray(gs_depth * (1.0 - gs_alpha))[:, 0]
             d = (d - d.min()) / max(float(d.max() - d.min()), 1e-8)
-            save_video(d, f"{event_dir}/gs_render_depth.mp4")
+            artifact_writer.submit(save_video, d, f"{event_dir}/gs_render_depth.mp4")
 
         _t_art = _time.time() - _t
 
@@ -1206,13 +1219,17 @@ class GuidedTrainer(BaselineTrainer):
         video = np.asarray(video)
 
         if event_dir:
-            from guidedvd3dgs_tpu.utils.video import save_video
+            from guidedvd3dgs_tpu.utils.video import artifact_writer, save_video
 
-            save_video(np.transpose(video, (0, 2, 3, 1)), f"{event_dir}/diffusion0.mp4")
+            artifact_writer.submit(
+                save_video, np.transpose(video, (0, 2, 3, 1)),
+                f"{event_dir}/diffusion0.mp4",
+            )
         if getattr(self.opt, "guidance_save_videos", False):
             # raw pseudo-GT tensor in the reference's video_files_scale
             # layout (train_guidedvd.py:561-566) — npz, no pickle; readable
-            # back by --guidance_videos_from_file
+            # back by --guidance_videos_from_file. Written SYNCHRONOUSLY:
+            # --guidance_videos_from_file may read it back this run.
             vf = self._video_file_path(video_key)
             if vf is None and event_dir:
                 vf = f"{event_dir}/video_view{view}.npz"
@@ -1628,6 +1645,12 @@ class GuidedTrainer(BaselineTrainer):
         """Persist the measured phase split for wall-clock projection
         (tools/project_wallclock.py) against the reference's 3-4 h/scene on
         2x V100 (reference README.md Quick Start)."""
+        # settle outstanding async artifact encodes first: their wall-clock
+        # belongs inside total_s, and a failed write must surface here, not
+        # silently at interpreter exit
+        from guidedvd3dgs_tpu.utils.video import artifact_writer
+
+        artifact_writer.drain()
         mp = getattr(self.model_params, "model_path", "") or ""
         if not mp:
             return

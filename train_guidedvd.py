@@ -72,7 +72,16 @@ def build_engine(args, opt, height, width):
             unet=split["unet"], vae=split["vae"], resampler=split["resampler"],
             clip_text=split["clip_text"], clip_image=split["clip_image"],
         )
+        import dataclasses
+
+        # block-level UNet remat is mandatory at the production shape on a
+        # 16 GB v5e: the guided step recomputes the UNet pair in its backward
+        # (samplers/ddim_guidance.py), and that recompute's own backward must
+        # be block-chunked or it OOMs (tools/diffusion_fullsize_smoke.py)
         mcfg = LatentDiffusionConfig()
+        mcfg = dataclasses.replace(
+            mcfg, unet=dataclasses.replace(mcfg.unet, remat=True)
+        )
         scfg = SynthesisConfig(ddim_steps=opt.guidance_ddim_steps)
         # diffusion runs at 320 x (448 | 512): 576-base resize convention
         # (reference viewcrafter_wrapper.py:251-281 hard_code_vc_opts);
