@@ -13,8 +13,11 @@ REPO = os.path.dirname(HERE)
 
 CONFIGS = [
     {},
+    # expand VPU work per slot is BLK+128 (window overhead), so SMALLER
+    # blocks do less arithmetic — the round-2 sweep only went upward
+    {"GVD_EXPAND_BLK": "128"},
     {"GVD_EXPAND_BLK": "512"},
-    {"GVD_EXPAND_BLK": "1024"},
+    {"GVD_SEGSUM_BBLK": "256"},
     {"GVD_SEGSUM_BBLK": "1024"},
     {"GVD_RASTER_CHUNK": "256"},
 ]
