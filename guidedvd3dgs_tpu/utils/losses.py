@@ -62,24 +62,37 @@ def _ssim_window(window_size: int, sigma: float = 1.5) -> np.ndarray:
     return w2d
 
 
+def _band_matrix(n: int, g1d: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """(n, n) banded Toeplitz of the 1-D window with zero-pad edge semantics:
+    out[v] = sum_w img[w] * B[w, v] == conv1d(img, g, zero-padded)."""
+    i = jnp.arange(n)[:, None]  # source index w
+    j = jnp.arange(n)[None, :]  # output index v
+    d = i - j + pad
+    k = g1d.shape[0]
+    valid = (d >= 0) & (d < k)
+    return jnp.where(valid, g1d[jnp.clip(d, 0, k - 1)], 0.0)
+
+
 def _depthwise_filter(img: jnp.ndarray, window: jnp.ndarray, pad: int) -> jnp.ndarray:
-    """Depthwise 2D conv on (N, C, H, W) with same-size zero padding, matching
-    torch F.conv2d(groups=C) in the reference SSIM."""
-    c = img.shape[1]
-    kernel = jnp.broadcast_to(window[None, None], (c, 1, *window.shape))
-    # precision=HIGHEST is load-bearing on TPU: the default conv precision
-    # rounds f32 operands to bf16, and the E[x^2]-mu^2 variance cancellation
-    # in SSIM then yields negative variances larger than C2, exploding the
-    # per-pixel ratio (observed: SSIM "14.2" on real renders at default).
-    return jax.lax.conv_general_dilated(
-        img,
-        kernel,
-        window_strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    """Gaussian blur on (N, C, H, W), zero-padded — the role of the reference
+    SSIM's torch F.conv2d(groups=C).
+
+    TPU-native formulation: the window is separable (outer(g, g)), and
+    depthwise convs cannot use the MXU (one channel per group — XLA lowers
+    them to VPU window reductions), so the two 1-D passes run as banded
+    Toeplitz MATMULS over the H and W axes instead. precision=HIGHEST is
+    load-bearing: the default matmul precision rounds f32 operands to bf16,
+    and the E[x^2]-mu^2 variance cancellation in SSIM then yields negative
+    variances larger than C2, exploding the per-pixel ratio (observed: SSIM
+    "14.2" on real renders at default)."""
+    # exact 1-D factor of the cached 2-D window: row through the center
+    g1d = window[pad] / window[pad].sum()
+    h, w = img.shape[-2], img.shape[-1]
+    bw = _band_matrix(w, g1d, pad)  # (W, W)
+    bh = _band_matrix(h, g1d, pad)  # (H, H)
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("nchw,wv->nchv", img, bw, precision=hi)
+    return jnp.einsum("nchw,hu->ncuw", x, bh, precision=hi)
 
 
 def _ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int) -> jnp.ndarray:
