@@ -173,9 +173,14 @@ def main():
         t0 = time.time()
         frames = full_sample(params, video, jax.random.key(6), buffers)
         force(frames)
+        timings["full_sample_compile_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        frames = full_sample(params, video, jax.random.key(6), buffers)
+        force(frames)
         timings["full_sample_s"] = round(time.time() - t0, 1)
         print(
-            f"C full {scfg.ddim_steps}-step guided sample: {time.time()-t0:.0f}s, "
+            f"C full {scfg.ddim_steps}-step guided sample: compile+run "
+            f"{timings['full_sample_compile_s']:.0f}s, run {timings['full_sample_s']:.0f}s, "
             f"finite={bool(jnp.isfinite(frames.astype(jnp.float32)).all())} {mem_stats()}",
             flush=True,
         )

@@ -38,12 +38,14 @@ def project(summary: dict, smoke: dict | None, events: int,
         ph.get(k, 0.0) for k in ("pc_render", "frozen", "artifacts")
     ) / n_run
 
-    if smoke is not None and "guided_step_run_s" in smoke.get("timings", {}):
-        gen_per_event = smoke["timings"]["guided_step_run_s"] * ddim_steps
-        gen_source = "diffusion_fullsize_smoke guided_step x ddim_steps"
-    elif smoke is not None and "full_sample_s" in smoke.get("timings", {}):
+    # prefer the measured COMPLETE event sample (conditioning build + all
+    # DDIM steps in one jit) over the single-step extrapolation
+    if smoke is not None and "full_sample_s" in smoke.get("timings", {}):
         gen_per_event = smoke["timings"]["full_sample_s"]
         gen_source = "diffusion_fullsize_smoke full_sample"
+    elif smoke is not None and "guided_step_run_s" in smoke.get("timings", {}):
+        gen_per_event = smoke["timings"]["guided_step_run_s"] * ddim_steps
+        gen_source = "diffusion_fullsize_smoke guided_step x ddim_steps"
     else:
         gen_per_event = ph.get("generate", 0.0) / n_run
         gen_source = f"measured {summary.get('engine', '?')} generate phase"
