@@ -85,6 +85,16 @@ def main():
 
     timeit("preprocess fwd+vjp(apply)", pre_vjp_apply, means, scales, rots, opac, shs)
 
+    # --- fused Pallas preprocess (the round-3 production path) ---
+    from guidedvd3dgs_tpu.ops import preprocess_pallas as pf
+
+    timeit("preprocess FUSED fwd", lambda e, m, s, r, o, sh: pf.preprocess_fused_fwd(
+        m + e, s, r, o, sh, cam, 3, 1.0), means, scales, rots, opac, shs)
+
+    cot10 = jnp.ones((10, N), jnp.float32)
+    timeit("preprocess FUSED bwd", lambda e, m, s, r, o, sh: pf.preprocess_fused_bwd(
+        m + e, s, r, o, sh, cam, 3, 1.0, cot10), means, scales, rots, opac, shs)
+
     # --- binning stages ---
     def full_binning(e, p):
         p = p._replace(means2d=p.means2d + e)
