@@ -77,20 +77,26 @@ def _guided_step(
     t = jnp.broadcast_to(pr.timesteps[index], (b,))
     rescale = pr.scale_arr_prev[index] / pr.scale_arr[index]
 
-    # jax.checkpoint: the later vjp through this pair must not store the
-    # block-boundary activations of TWO full UNet passes — at the production
-    # shape (25x40x56, model_channels 320) those residuals alone exceed the
-    # v5e's 16 GB HBM (measured: stage B of tools/diffusion_fullsize_smoke.py
-    # OOMed without this). Recompute costs one extra fwd per branch in the
-    # backward; the reference instead autocasts + keeps torch autograd state
-    # on a 32 GB V100 (README "peak memory ... 32G").
-    _apply_ckpt = jax.checkpoint(
-        lambda xv_, c_: apply_model(params, mcfg, xv_, t, c_)
-    )
+    # HBM discipline for the vjp through the CFG pair (the production shape
+    # 25x40x56 / model_channels 320 must fit a 16 GB v5e where the reference
+    # uses a 32 GB V100):
+    #   * jax.checkpoint around the UNet application — the vjp stores only
+    #     its inputs, never the block-boundary activations of a full pass
+    #     (stage B of tools/diffusion_fullsize_smoke.py OOMed without it);
+    #   * lax.map over the STACKED cond/uncond conditioning — a sequential
+    #     loop, so the two recomputed backward passes can never be scheduled
+    #     concurrently by XLA (two overlapped UNet backwards double the
+    #     transient working set).
+    # Cost: one extra UNet fwd per branch in the backward — the deliberate
+    # FLOPs-for-HBM trade.
+    cu = jax.tree.map(lambda a, b: jnp.stack([a, b]), cond, uncond)
 
     def pred_x0_of_x(xv):
-        v_cond = _apply_ckpt(xv, cond)
-        v_uncond = _apply_ckpt(xv, uncond)
+        vs = jax.lax.map(
+            jax.checkpoint(lambda c_: apply_model(params, mcfg, xv, t, c_)), cu
+        )
+        v_cond = jax.tree.map(lambda a: a[0], vs)
+        v_uncond = jax.tree.map(lambda a: a[1], vs)
         mo = v_uncond + scfg.cfg_scale * (v_cond - v_uncond)
         mo = rescale_noise_cfg(mo, v_cond, scfg.guidance_rescale)
         px0 = predict_start_from_z_and_v(sched, xv, t, mo) * rescale
