@@ -35,7 +35,11 @@ from jax.experimental import pallas as pl
 
 from guidedvd3dgs_tpu.ops.projection import preprocess_field_rows
 
-BLKN = int(_os.environ.get("GVD_PREPROC_BLK", "512"))
+# 1024 = 8 sublanes x 128 lanes: the kernels reshape every (1, BLKN) row to
+# (8, BLKN // 8) before the field math — elementwise row ops on (1, n)
+# shapes occupy a single VPU sublane (measured 4.98/7.35 ms fwd/bwd at 1M;
+# 8x lane-density is the fix), and 128 lanes keeps the tiles full.
+BLKN = int(_os.environ.get("GVD_PREPROC_BLK", "1024"))
 
 _INTERPRET = [False]
 
@@ -74,8 +78,16 @@ def _unpack_cam(cam_ref):
 
 
 def _rows(ref, k):
+    """k rows of a (k, BLK) block, each reshaped (1, BLK) -> (8, BLK // 8)
+    so the elementwise field math fills all VPU sublanes (see BLKN note)."""
     x = ref[...]
-    return tuple(x[i : i + 1, :] for i in range(k))
+    blk = x.shape[1]
+    return tuple(x[i : i + 1, :].reshape(8, blk // 8) for i in range(k))
+
+
+def _flat(rows):
+    """Inverse of the _rows reshape: each (8, BLK // 8) -> (1, BLK)."""
+    return [r.reshape(1, r.shape[0] * r.shape[1]) for r in rows]
 
 
 def _sh48(sh_rows, n_coef):
@@ -91,17 +103,18 @@ def _fwd_kernel(
 ):
     V, Pm, campos, tfx, tfy, act = _unpack_cam(cam_ref)
     n_coef = (sh_degree + 1) ** 2
+    blk = out_ref.shape[1]
     fields10, radius, visible, ext_x, ext_y = preprocess_field_rows(
         _rows(mean_ref, 3), _rows(scale_ref, 3), _rows(rot_ref, 4),
-        op_ref[...][0:1, :], _sh48(_rows(sh_ref, 3 * n_coef), n_coef),
+        op_ref[...][0:1, :].reshape(8, blk // 8),
+        _sh48(_rows(sh_ref, 3 * n_coef), n_coef),
         V, Pm, campos, tfx, tfy, width, height, sh_degree, scale_modifier,
         active_degree=act,
     )
-    blk = out_ref.shape[1]
     out_ref[...] = jnp.concatenate(
-        list(fields10)
-        + [radius, visible.astype(jnp.float32), ext_x, ext_y,
-           jnp.zeros((2, blk), jnp.float32)],
+        _flat(list(fields10))
+        + _flat([radius, visible.astype(jnp.float32), ext_x, ext_y])
+        + [jnp.zeros((2, blk), jnp.float32)],
         axis=0,
     )
 
@@ -113,6 +126,7 @@ def _bwd_kernel(
 ):
     V, Pm, campos, tfx, tfy, act = _unpack_cam(cam_ref)
     n_coef = (sh_degree + 1) ** 2
+    blk = dmean_ref.shape[1]
 
     def f(m_t, s_t, q_t, op_row, sh_rows):
         fields10, *_ = preprocess_field_rows(
@@ -124,16 +138,18 @@ def _bwd_kernel(
 
     primals = (
         _rows(mean_ref, 3), _rows(scale_ref, 3), _rows(rot_ref, 4),
-        op_ref[...][0:1, :], _rows(sh_ref, 3 * n_coef),
+        op_ref[...][0:1, :].reshape(8, blk // 8), _rows(sh_ref, 3 * n_coef),
     )
     _, vjp = jax.vjp(f, *primals)
     cot = cot_ref[...]
-    g_m, g_s, g_q, g_op, g_sh = vjp(tuple(cot[i : i + 1, :] for i in range(10)))
-    dmean_ref[...] = jnp.concatenate(g_m, axis=0)
-    dscale_ref[...] = jnp.concatenate(g_s, axis=0)
-    drot_ref[...] = jnp.concatenate(g_q, axis=0)
-    dop_ref[...] = g_op
-    dsh_ref[...] = jnp.concatenate(g_sh, axis=0)
+    g_m, g_s, g_q, g_op, g_sh = vjp(
+        tuple(cot[i : i + 1, :].reshape(8, blk // 8) for i in range(10))
+    )
+    dmean_ref[...] = jnp.concatenate(_flat(g_m), axis=0)
+    dscale_ref[...] = jnp.concatenate(_flat(g_s), axis=0)
+    drot_ref[...] = jnp.concatenate(_flat(g_q), axis=0)
+    dop_ref[...] = _flat([g_op])[0]
+    dsh_ref[...] = jnp.concatenate(_flat(g_sh), axis=0)
 
 
 def _transpose_inputs(means3d, scales, rotations, opacities, shs, sh_degree):
