@@ -190,8 +190,11 @@ def main():
     def jiggle(inst, e):
         return inst ^ (e * 0).astype(jnp.int32)
 
+    # depth_bits is a STATIC field of TileBinning, but `binning` came out of
+    # a jitted call, which turned it into a traced scalar — rebuild the
+    # static value (21 bits at this tile count, tiling.bin_gaussians)
     dp = dict(depth_dmin=binning.depth_dmin, depth_dstep=binning.depth_dstep,
-              depth_bits=binning.depth_bits)
+              depth_bits=21)
 
     def fwd_kernel_only(e, b_inst, b_start, b_count):
         return rt._run_fwd(jiggle(b_inst, e), b_start, b_count, bg, GX, GY, **dp)
