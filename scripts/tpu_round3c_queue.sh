@@ -11,7 +11,7 @@ cd "$(dirname "$0")/.."
 DEST=${ARTIFACT_DEST:-$(pwd)}
 
 stages=("$@")
-[ ${#stages[@]} -eq 0 ] && stages=(mem smoke bench stages overlap e2e)
+[ ${#stages[@]} -eq 0 ] && stages=(mem smoke bench stages sweep overlap e2e)
 
 probe() {
     timeout 300 python -c "import jax; assert jax.devices()[0].platform == 'tpu'" 2>/dev/null
@@ -55,6 +55,16 @@ for stage in "${stages[@]}"; do
         timeout 3600 python tools/profile_stages_r2.py \
             | tee STAGE_PROFILE_r3.txt || echo "stage profile FAILED" >&2
         mirror STAGE_PROFILE_r3.txt
+        ;;
+    sweep)
+        timeout 7200 python tools/sweep_block_sizes.py \
+            | tee BLOCK_SWEEP_r3.txt || echo "sweep FAILED" >&2
+        mirror BLOCK_SWEEP_r3.txt
+        ;;
+    iter)
+        timeout 3600 python tools/profile_guided_iter.py \
+            || echo "iter profile FAILED" >&2
+        mirror GUIDED_ITER_PROFILE.json
         ;;
     overlap)
         if [ ! -d "$src" ]; then

@@ -72,8 +72,10 @@ def binning_total(e, p):
     return tiling.bin_gaussians(p, W, H, M)
 timeit("binning TOTAL", binning_total, proc)
 
+# depth_bits is STATIC in TileBinning but `binning` came out of a jitted
+# call (tracer); rebuild the static value (21 at this tile count)
 dp = dict(depth_dmin=binning.depth_dmin, depth_dstep=binning.depth_dstep,
-          depth_bits=binning.depth_bits)
+          depth_bits=21)
 
 def jiggle(inst, e):
     return inst ^ (e * 0).astype(jnp.int32)
