@@ -11,7 +11,10 @@ cd "$(dirname "$0")/.."
 DEST=${ARTIFACT_DEST:-$(pwd)}
 
 stages=("$@")
-[ ${#stages[@]} -eq 0 ] && stages=(mem smoke bench stages sweep overlap e2e)
+# sweep omitted from the default order: the r3b run settled GVD_EXPAND_BLK
+# (128: 33.7 ms, 256: 30.5 ms binning TOTAL — overhead beats arithmetic)
+# and r2 found the other knobs at a plateau; e2e time matters more.
+[ ${#stages[@]} -eq 0 ] && stages=(mem smoke bench stages overlap e2e)
 
 probe() {
     timeout 300 python -c "import jax; assert jax.devices()[0].platform == 'tpu'" 2>/dev/null
