@@ -27,8 +27,21 @@ mirror() {
     cp -f "$f" "$DEST/$f"
 }
 
+# A fresh client occasionally wedges during axon plugin init (all threads
+# in futex_wait, no tunnel socket ever opened) — observed twice after a
+# previous chip client died uncleanly. A successful probe connection clears
+# the state, so probe WITH RETRIES before every stage.
+probe_retry() {
+    for i in 1 2 3 4 5; do
+        probe && return 0
+        echo "  tunnel probe $i failed/wedged — retrying" >&2
+        sleep 10
+    done
+    return 1
+}
+
 echo "== probing TPU tunnel =="
-if ! probe; then
+if ! probe_retry; then
     echo "tunnel down — aborting" >&2
     exit 3
 fi
@@ -39,6 +52,7 @@ work=output/synthetic_oracle_e2e_r3c
 
 for stage in "${stages[@]}"; do
     echo "== stage: $stage ($(date -u +%H:%M:%S)) =="
+    probe_retry || { echo "tunnel unavailable at stage $stage" >&2; continue; }
     case "$stage" in
     mem)
         timeout 7200 python tools/diffusion_memory_analysis.py \
@@ -108,7 +122,7 @@ for stage in "${stages[@]}"; do
                      | tail -1 | cut -d' ' -f2)
             [ -n "${latest:-}" ] && resume=(--start_checkpoint "$latest")
             echo "-- e2e attempt $attempt ${resume[*]:-fresh}"
-            if timeout 14400 python train_guidedvd.py --dataset colmap \
+            timeout 7200 python train_guidedvd.py --dataset colmap \
                 --source_path "$src" --model_path "$work" \
                 --baseline_path "$base" --eval --n_views 6 \
                 --oracle_gt_npz "$src/gt_gaussians.npz" \
@@ -116,10 +130,25 @@ for stage in "${stages[@]}"; do
                 --iterations 10000 --test_iterations 10000 \
                 --save_iterations 10000 \
                 --checkpoint_iterations 2000 4000 6000 8000 \
-                "${resume[@]}"; then
-                ok=1; break
-            fi
-            echo "e2e attempt $attempt FAILED" >&2
+                "${resume[@]}" &
+            tpid=$!
+            rc=1
+            # wedge watchdog: a client that never opens a tunnel socket
+            # writes no metrics.jsonl; kill it after 25 min of nothing
+            # instead of burning the whole timeout
+            for tick in $(seq 1 150); do
+                sleep 60
+                if ! kill -0 "$tpid" 2>/dev/null; then
+                    wait "$tpid"; rc=$?; break
+                fi
+                fresh=$(find "$work" -name metrics.jsonl -mmin -20 2>/dev/null)
+                if [ "$tick" -ge 25 ] && [ -z "$fresh" ]; then
+                    echo "no metrics progress after ${tick} min — wedge/stall, killing" >&2
+                    kill "$tpid"; wait "$tpid" 2>/dev/null; rc=99; break
+                fi
+            done
+            if [ "$rc" = 0 ]; then ok=1; break; fi
+            echo "e2e attempt $attempt FAILED rc=$rc" >&2
             mirror "$work/metrics.jsonl"
         done
         [ "$ok" = 1 ] || continue
