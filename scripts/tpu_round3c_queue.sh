@@ -14,7 +14,7 @@ stages=("$@")
 # sweep omitted from the default order: the r3b run settled GVD_EXPAND_BLK
 # (128: 33.7 ms, 256: 30.5 ms binning TOTAL — overhead beats arithmetic)
 # and r2 found the other knobs at a plateau; e2e time matters more.
-[ ${#stages[@]} -eq 0 ] && stages=(mem smoke bench stages overlap e2e)
+[ ${#stages[@]} -eq 0 ] && stages=(mem smoke bench stages iter parity overlap e2e)
 
 probe() {
     timeout 300 python -c "import jax; assert jax.devices()[0].platform == 'tpu'" 2>/dev/null
@@ -82,6 +82,11 @@ for stage in "${stages[@]}"; do
         timeout 3600 python tools/profile_guided_iter.py \
             || echo "iter profile FAILED" >&2
         mirror GUIDED_ITER_PROFILE.json
+        ;;
+    parity)
+        timeout 3600 python tools/check_packed_parity_onchip.py \
+            || echo "packed parity FAILED" >&2
+        mirror PACKED_PARITY.json
         ;;
     overlap)
         if [ ! -d "$src" ]; then
