@@ -124,3 +124,65 @@ def render_state(
     return render_gaussians(
         state.params, state.active, state.confidence, cam, bg, active_sh_degree, **kwargs
     )
+
+
+def render_gaussians_multi(
+    params: G.GaussianParams,
+    active: jnp.ndarray,
+    confidence: jnp.ndarray,
+    cams: RasterCamera,  # leaves stacked (B, ...)
+    bg: jnp.ndarray,
+    active_sh_degree: int,
+    scaling_modifier: float = 1.0,
+    means2d_offset: Optional[jnp.ndarray] = None,  # (B, C, 2)
+    use_confidence: bool = False,
+    backend: str = "auto",
+    max_instances: int = 0,
+    active_degree: Optional[jnp.ndarray] = None,
+) -> RenderResult:
+    """Render B cameras of the SAME Gaussian set through one kernel chain
+    (ops/raster.rasterize_multi). RenderResult leaves carry a leading B;
+    overflow/num_instances are totals across the batch. Parameter gradients
+    sum over the cameras — exactly what a multi-view loss needs (the
+    reference accumulates train-view + pseudo-view backward passes into the
+    same .grad buffers, train_guidedvd.py:383)."""
+    from guidedvd3dgs_tpu.ops.raster import rasterize_multi
+
+    if use_confidence:
+        conf = confidence[:, 0]
+        p = G.GaussianParams(
+            xyz=_confidence_grad_scale(params.xyz, conf),
+            features_dc=_confidence_grad_scale(params.features_dc, conf),
+            features_rest=_confidence_grad_scale(params.features_rest, conf),
+            scaling=_confidence_grad_scale(params.scaling, conf),
+            rotation=_confidence_grad_scale(params.rotation, conf),
+            opacity=_confidence_grad_scale(params.opacity, conf),
+        )
+    else:
+        p = params
+
+    out: RenderOutput = rasterize_multi(
+        p.xyz,
+        G.get_scaling(p),
+        G.get_rotation(p),
+        G.get_opacity(p),
+        G.get_features(p),
+        cams,
+        bg,
+        sh_degree=active_sh_degree,
+        scale_modifier=scaling_modifier,
+        means2d_offset=means2d_offset,
+        active_mask=active,
+        backend=backend,
+        max_instances=max_instances,
+        active_degree=active_degree,
+    )
+    return RenderResult(
+        color=out.color,
+        depth=out.depth,
+        alpha=out.alpha,
+        radii=out.radii,
+        visibility_filter=out.radii > 0,
+        overflow=out.overflow,
+        num_instances=out.num_instances,
+    )

@@ -1106,3 +1106,315 @@ def rasterize_tiles(
         cam.tanfovx, cam.tanfovy, bg, active_mask, active_degree,
     )
     return RenderOutput(color, depth, alpha, radii, radii > 0, overflow, num_instances)
+
+
+# ----------------------------------------------------------------------------
+# multi-camera batched raster: B cameras through ONE kernel chain
+# ----------------------------------------------------------------------------
+#
+# The B cameras' tile grids are stacked vertically into one virtual
+# framebuffer (camera c's pixels live in rows [c*Hp, c*Hp+H), Hp = gy*TILE):
+# each camera's preprocess output is concatenated along N with means2d.y
+# offset by c*Hp and the y-tile-rect clamped to the camera's band
+# (tiling.tile_rects n_cams). Every downstream stage — expansion, the
+# binning sort, the fwd/bwd blend kernels, the gradient reduce sort and
+# segment sum — is tile-grid-agnostic and runs ONCE over the union of all
+# cameras' instances. Sort cost is sublinear in M (M/2 -> 0.70x,
+# docs/PERF_NOTES.md), so B renders through one chain cost ~0.7-0.8x of B
+# separate chains, and the per-dispatch fixed costs (expand windows, grid
+# setup, fusion boundaries) are paid once. This is the TPU answer to the
+# reference's two-renders-per-guided-iteration (train view + pseudo view,
+# reference train_guidedvd.py:332-381) and its 25-frame EasyRenderer loops
+# (train_guidedvd.py:520-542).
+
+
+def _to_virtual_planes(x_b, hp, wp):
+    """(B, k, H, W) -> (k, B*hp, wp): zero-pad each camera's plane to the
+    padded tile grid, then stack the cameras as vertical bands."""
+    b, k, h, w = x_b.shape
+    x = jnp.pad(x_b, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    return x.transpose(1, 0, 2, 3).reshape(k, b * hp, wp)
+
+
+def _from_virtual_planes(x_v, b, hp, height, width):
+    """(k, B*hp, wp) -> (B, k, H, W): undo _to_virtual_planes."""
+    k = x_v.shape[0]
+    x = x_v.reshape(k, b, hp, x_v.shape[2]).transpose(1, 0, 2, 3)
+    return x[:, :, :height, :width]
+
+
+def _cam_of(viewmats, projmats, campos_b, tanfovx, tanfovy, height, width, c):
+    pick = lambda x: x[c] if getattr(x, "ndim", 0) > 0 else x
+    return RasterCamera(
+        viewmats[c], projmats[c], campos_b[c], pick(tanfovx), pick(tanfovy),
+        height, width,
+    )
+
+
+def _raster_multi_fwd_impl(
+    static_cfg, n_cams, height, width,
+    means3d, scales, rotations, opacities, shs,
+    means2d_offset, viewmats, projmats, campos_b, tanfovx, tanfovy, bg,
+    active_mask, active_degree,
+):
+    sh_degree, scale_modifier, max_instances, *_ = static_cfg
+    gy_cam = (height + TILE - 1) // TILE
+    hp = gy_cam * TILE
+    parts = []
+    for c in range(n_cams):
+        cam = _cam_of(
+            viewmats, projmats, campos_b, tanfovx, tanfovy, height, width, c
+        )
+        off_c = None if means2d_offset is None else means2d_offset[c]
+        (m2d, _, _, _, _), proc = _preproc_screen(
+            means3d, scales, rotations, opacities, shs, None, None,
+            off_c, cam, sh_degree, scale_modifier, active_mask, active_degree,
+        )
+        band = m2d + jnp.array([0.0, c * hp], m2d.dtype)
+        parts.append(proc._replace(means2d=band))
+    proc_all = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+    binning = tiling.bin_gaussians(
+        proc_all, width, height, max_instances, n_cams=n_cams
+    )
+    C, D, A = _run_fwd(
+        binning.inst_data, binning.tile_start, binning.tile_count, bg,
+        binning.grid_x, binning.grid_y,
+        depth_dmin=binning.depth_dmin, depth_dstep=binning.depth_dstep,
+        depth_bits=binning.depth_bits,
+    )
+    planes = _from_virtual_planes(
+        jnp.concatenate([C, D[None], A[None]], axis=0), n_cams, hp, height, width
+    )  # (B, 5, H, W)
+    color = planes[:, 0:3]
+    depth = planes[:, 3]
+    alpha = planes[:, 4]
+    radii = proc_all.radii.reshape(n_cams, -1)
+    diag = (binning.overflow, binning.num_instances)
+    residuals = (
+        binning, C, D, A,
+        means3d, scales, rotations, opacities, shs,
+        means2d_offset, viewmats, projmats, campos_b, tanfovx, tanfovy, bg,
+        active_mask, active_degree,
+    )
+    return (color, depth, alpha, radii, diag), residuals
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _raster_core_multi(
+    static_cfg,  # (sh_degree, scale_modifier, max_instances, True, False, False, has_offset)
+    n_cams,
+    height,
+    width,
+    means3d, scales, rotations, opacities, shs,
+    means2d_offset, viewmats, projmats, campos_b, tanfovx, tanfovy, bg,
+    active_mask, active_degree,
+):
+    out, _ = _raster_multi_fwd_impl(
+        static_cfg, n_cams, height, width,
+        means3d, scales, rotations, opacities, shs,
+        means2d_offset, viewmats, projmats, campos_b, tanfovx, tanfovy, bg,
+        active_mask, active_degree,
+    )
+    return out
+
+
+def _raster_multi_fwd(static_cfg, n_cams, height, width, *args):
+    if _use_fused(static_cfg):
+        return _raster_multi_fwd_impl(static_cfg, n_cams, height, width, *args)
+    sh_degree, scale_modifier, max_instances, *_ = static_cfg
+    (
+        means3d, scales, rotations, opacities, shs,
+        means2d_offset, viewmats, projmats, campos_b, tanfovx, tanfovy, bg,
+        active_mask, active_degree,
+    ) = args
+    gy_cam = (height + TILE - 1) // TILE
+    hp = gy_cam * TILE
+
+    def preproc_cat(md, sc, rot, op, sh, off):
+        outs = []
+        procs = []
+        for c in range(n_cams):
+            cam = _cam_of(
+                viewmats, projmats, campos_b, tanfovx, tanfovy, height, width, c
+            )
+            off_c = None if off is None else off[c]
+            (m2d, depths, conics, colors, opacs), proc = _preproc_screen(
+                md, sc, rot, op, sh, None, None, off_c, cam,
+                sh_degree, scale_modifier, active_mask, active_degree,
+            )
+            band = m2d + jnp.array([0.0, c * hp], m2d.dtype)
+            outs.append((band, depths, conics, colors, opacs))
+            procs.append(proc._replace(means2d=band))
+        cat = tuple(
+            jnp.concatenate([o[i] for o in outs], axis=0) for i in range(5)
+        )
+        return cat, procs
+
+    (cat, pre_vjp, procs) = jax.vjp(
+        preproc_cat, means3d, scales, rotations, opacities, shs,
+        means2d_offset, has_aux=True,
+    )
+    m2d_cat, depths_cat, conics_cat, colors_cat, opacs_cat = cat
+    proc0 = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *procs)
+    proc_all = proc0._replace(
+        means2d=m2d_cat, depths=depths_cat, conics=conics_cat,
+        colors=colors_cat, opacities=opacs_cat,
+    )
+    binning = tiling.bin_gaussians(
+        proc_all, width, height, max_instances, n_cams=n_cams
+    )
+    C, D, A = _run_fwd(
+        binning.inst_data, binning.tile_start, binning.tile_count, bg,
+        binning.grid_x, binning.grid_y,
+        depth_dmin=binning.depth_dmin, depth_dstep=binning.depth_dstep,
+        depth_bits=binning.depth_bits,
+    )
+    planes = _from_virtual_planes(
+        jnp.concatenate([C, D[None], A[None]], axis=0), n_cams, hp, height, width
+    )
+    color = planes[:, 0:3]
+    depth = planes[:, 3]
+    alpha = planes[:, 4]
+    radii = proc_all.radii.reshape(n_cams, -1)
+    diag = (binning.overflow, binning.num_instances)
+    residuals = (
+        binning, C, D, A, pre_vjp, bg,
+        viewmats, projmats, campos_b, tanfovx, tanfovy,
+    )
+    return (color, depth, alpha, radii, diag), residuals
+
+
+def _raster_multi_bwd(static_cfg, n_cams, height, width, res, cotangents):
+    sh_degree, scale_modifier, max_instances, has_sh, _, _, has_off = static_cfg
+    fused = _use_fused(static_cfg)
+    if fused:
+        (
+            binning, C, D, A,
+            means3d, scales, rotations, opacities, shs,
+            means2d_offset, viewmats, projmats, campos_b, tanfovx, tanfovy, bg,
+            active_mask, active_degree,
+        ) = res
+    else:
+        (
+            binning, C, D, A, pre_vjp, bg,
+            viewmats, projmats, campos_b, tanfovx, tanfovy,
+        ) = res
+    dcolor, ddepth, dalpha, _dradii, _ddiag = cotangents
+
+    gy, gx = binning.grid_y, binning.grid_x
+    hp = gy // n_cams * TILE
+    wp = gx * TILE
+    cot_b = jnp.concatenate([dcolor, ddepth[:, None], dalpha[:, None]], axis=1)
+    cot_v = _to_virtual_planes(cot_b, hp, wp)  # (5, gy*TILE, wp)
+    dC = cot_v[0:3]
+    dD = cot_v[3]
+    dA = cot_v[4]
+
+    grad_inst = _run_bwd(
+        binning.inst_data, binning.tile_start, binning.tile_count,
+        C, D, A, dC, dD, dA, gx, gy,
+        depth_dmin=binning.depth_dmin, depth_dstep=binning.depth_dstep,
+        depth_bits=binning.depth_bits,
+    )
+    acc = _reduce_per_gaussian(grad_inst, binning)  # (10+, B*N)
+    n = acc.shape[1] // n_cams
+    acc_b = acc[:10].reshape(10, n_cams, n)
+
+    if fused:
+        cam_args = (viewmats, projmats, campos_b, tanfovx, tanfovy)
+        g_means3d = g_scales = g_rots = g_opac = g_shs = None
+        for c in range(n_cams):
+            cam = _cam_of(*cam_args, height, width, c)
+            g = preprocess_pallas.preprocess_fused_bwd(
+                means3d, scales, rotations, opacities, shs, cam,
+                sh_degree, scale_modifier, acc_b[:, c],
+                active_degree=active_degree,
+            )
+            if g_means3d is None:
+                g_means3d, g_scales, g_rots, g_opac, g_shs = g
+            else:
+                g_means3d = g_means3d + g[0]
+                g_scales = g_scales + g[1]
+                g_rots = g_rots + g[2]
+                g_opac = g_opac + g[3]
+                g_shs = g_shs + g[4]
+        g_off = None
+        if has_off:
+            g_off = jnp.stack(
+                [acc_b[0] * (0.5 * width), acc_b[1] * (0.5 * height)], axis=-1
+            ).astype(means2d_offset.dtype)  # (B, N, 2)
+    else:
+        d_m2d = acc[0:2].T
+        d_conic = acc[2:5].T
+        d_opac = acc[F_OP]
+        d_color = acc[F_R : F_R + 3].T
+        d_depth = acc[F_D]
+        (g_means3d, g_scales, g_rots, g_opac, g_shs, g_off) = pre_vjp(
+            (d_m2d, d_depth, d_conic, d_color, d_opac)
+        )
+
+    zl = lambda x: None if x is None else jnp.zeros_like(x)
+    zs = lambda x: (
+        jnp.zeros_like(x) if isinstance(x, jnp.ndarray) else 0.0
+    )
+    return (
+        g_means3d, g_scales, g_rots, g_opac,
+        g_shs if has_sh else None,
+        g_off if has_off else None,
+        zl(viewmats), zl(projmats), zl(campos_b),
+        zs(tanfovx), zs(tanfovy),
+        zl(bg),
+        None,  # active_mask (non-differentiable)
+        None,  # active_degree
+    )
+
+
+_raster_core_multi.defvjp(_raster_multi_fwd, _raster_multi_bwd)
+
+
+def rasterize_tiles_multi(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotations: jnp.ndarray,
+    opacities: jnp.ndarray,
+    shs: jnp.ndarray,
+    cams: RasterCamera,  # leaves stacked (B, ...); height/width static ints
+    bg: jnp.ndarray,
+    sh_degree: int = 3,
+    scale_modifier: float = 1.0,
+    means2d_offset: Optional[jnp.ndarray] = None,  # (B, N, 2)
+    active_mask: Optional[jnp.ndarray] = None,
+    max_instances: int = 0,
+    active_degree: Optional[jnp.ndarray] = None,
+) -> RenderOutput:
+    """Batched render of B cameras through ONE binning/blend/reduce chain
+    (module comment above). Returns RenderOutput with leading B on
+    color/depth/alpha/radii/visibility; overflow/num_instances are totals
+    over the whole batch (size the shared instance buffer accordingly).
+    SH path only (the production path) — precomputed color/cov3d callers
+    use the single-camera `rasterize_tiles`."""
+    assert shs is not None, "rasterize_tiles_multi requires the SH path"
+    b = cams.viewmatrix.shape[0]
+    n = means3d.shape[0]
+    if max_instances <= 0:
+        max_instances = max(4 * n * b, 1 << 14)
+    max_instances = -(-max_instances // tiling.QUANTUM) * tiling.QUANTUM
+
+    static_cfg = (
+        sh_degree,
+        float(scale_modifier),
+        int(max_instances),
+        True,
+        False,
+        False,
+        means2d_offset is not None,
+    )
+    # stack_cameras keeps height/width as static ints; tanfovx/tanfovy may
+    # be scalars or stacked (B,) arrays (_cam_of picks per camera).
+    color, depth, alpha, radii, (overflow, num_instances) = _raster_core_multi(
+        static_cfg, b, int(cams.height), int(cams.width),
+        means3d, scales, rotations, opacities, shs,
+        means2d_offset, cams.viewmatrix, cams.projmatrix, cams.campos,
+        cams.tanfovx, cams.tanfovy, bg, active_mask, active_degree,
+    )
+    return RenderOutput(color, depth, alpha, radii, radii > 0, overflow, num_instances)

@@ -148,16 +148,31 @@ class TileBinning(NamedTuple):
     depth_bits: int = 0  # static; 0 => exact (unpacked) layout
 
 
-def tile_rects(proc: ProcessedGaussians, width: int, height: int):
+def tile_rects(proc: ProcessedGaussians, width: int, height: int, n_cams: int = 1):
     """Per-Gaussian tile rectangle (reference: auxiliary.h getRect), using
     the tight per-axis alpha-level-set extents (ProcessedGaussians.ext_x)
     instead of the reference's square 3-sigma radius. Output-identical:
     every pixel cut by the tighter rect has alpha < 1/255 and is dropped by
-    the blend threshold anyway; instance demand shrinks ~25-45%."""
+    the blend threshold anyway; instance demand shrinks ~25-45%.
+
+    Multi-camera mode (n_cams > 1): proc holds n_cams cameras' preprocess
+    outputs concatenated along N, each camera's means2d.y offset by
+    c * gy_cam * TILE — one virtual framebuffer of vertically stacked
+    camera bands, so ONE expand/sort/blend chain serves every camera.
+    The y-rect is clamped to the owning camera's tile-row band so a
+    Gaussian at a band edge never bleeds into the next camera's tiles."""
     gx = (width + TILE - 1) // TILE
-    gy = (height + TILE - 1) // TILE
+    gy_cam = (height + TILE - 1) // TILE
+    gy = gy_cam * n_cams
     ex, ey = proc.ext_x, proc.ext_y
     x, y = proc.means2d[:, 0], proc.means2d[:, 1]
+    if n_cams > 1:
+        npc = x.shape[0] // n_cams
+        lo_y = (jnp.arange(x.shape[0], dtype=jnp.int32) // npc) * gy_cam
+        hi_y = lo_y + gy_cam
+    else:
+        lo_y = 0
+        hi_y = gy
     # Tight rect = floor/floor+1 tile bounds of the level-set bbox (the
     # reference's `(v + TILE - 1) / TILE` idiom is a ceil only for integer
     # radii; with float extents v = 0.55 must still cover tile 0), then
@@ -165,14 +180,14 @@ def tile_rects(proc: ProcessedGaussians, width: int, height: int):
     # of the reference's work: any contributing pixel the intersection drops
     # is one the reference also drops (exact output parity).
     rect_min_x = jnp.clip(jnp.floor((x - ex) / TILE).astype(jnp.int32), 0, gx)
-    rect_min_y = jnp.clip(jnp.floor((y - ey) / TILE).astype(jnp.int32), 0, gy)
+    rect_min_y = jnp.clip(jnp.floor((y - ey) / TILE).astype(jnp.int32), lo_y, hi_y)
     rect_max_x = jnp.clip(jnp.floor((x + ex) / TILE).astype(jnp.int32) + 1, 0, gx)
-    rect_max_y = jnp.clip(jnp.floor((y + ey) / TILE).astype(jnp.int32) + 1, 0, gy)
+    rect_max_y = jnp.clip(jnp.floor((y + ey) / TILE).astype(jnp.int32) + 1, lo_y, hi_y)
     r = proc.radii.astype(jnp.float32)
     rect_min_x = jnp.maximum(rect_min_x, jnp.clip(((x - r) / TILE).astype(jnp.int32), 0, gx))
-    rect_min_y = jnp.maximum(rect_min_y, jnp.clip(((y - r) / TILE).astype(jnp.int32), 0, gy))
+    rect_min_y = jnp.maximum(rect_min_y, jnp.clip(((y - r) / TILE).astype(jnp.int32), lo_y, hi_y))
     rect_max_x = jnp.minimum(rect_max_x, jnp.clip(((x + r + TILE - 1) / TILE).astype(jnp.int32), 0, gx))
-    rect_max_y = jnp.minimum(rect_max_y, jnp.clip(((y + r + TILE - 1) / TILE).astype(jnp.int32), 0, gy))
+    rect_max_y = jnp.minimum(rect_max_y, jnp.clip(((y + r + TILE - 1) / TILE).astype(jnp.int32), lo_y, hi_y))
     w = jnp.maximum(rect_max_x - rect_min_x, 0)
     h = jnp.maximum(rect_max_y - rect_min_y, 0)
     count = jnp.where(proc.radii > 0, w * h, 0)
@@ -184,9 +199,14 @@ def bin_gaussians(
     width: int,
     height: int,
     max_instances: int,
+    n_cams: int = 1,
 ) -> TileBinning:
+    """n_cams > 1: proc is the per-camera preprocess outputs concatenated
+    along N with banded means2d (see tile_rects); the returned binning's
+    grid is (grid_x, n_cams * grid_y_cam) and the blend kernels render all
+    cameras in one virtual framebuffer of vertically stacked bands."""
     n = proc.means2d.shape[0]
-    rmx, rmy, rw, rh, count, gx, gy = tile_rects(proc, width, height)
+    rmx, rmy, rw, rh, count, gx, gy = tile_rects(proc, width, height, n_cams)
     num_tiles = gx * gy
     m = max_instances
     assert m % QUANTUM == 0, (m, QUANTUM)

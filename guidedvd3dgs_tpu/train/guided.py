@@ -40,7 +40,11 @@ import numpy as np
 from guidedvd3dgs_tpu.guidance import morphology as morph
 from guidedvd3dgs_tpu.guidance import pose_math as pm
 from guidedvd3dgs_tpu.models import gaussians as G
-from guidedvd3dgs_tpu.models.render import render_gaussians
+from guidedvd3dgs_tpu.models.render import (
+    RenderResult,
+    render_gaussians,
+    render_gaussians_multi,
+)
 from guidedvd3dgs_tpu.ops.point_splat import splat_points_world
 from guidedvd3dgs_tpu.ops.projection import RasterCamera
 from guidedvd3dgs_tpu.scene.cameras import PseudoCamera, camera_from_w2c_K
@@ -98,6 +102,37 @@ class FrozenRenderer:
         @partial(jax.jit, static_argnames=("height", "width"))
         def _render_many(state, viewmats, projmats, campos, tanfovx, tanfovy,
                          height, width):
+            t = viewmats.shape[0]
+            # tile backend: render the trajectory in groups of G frames,
+            # each group ONE batched kernel chain (sorts are sublinear in
+            # instance count, so a G-frame chain costs well under G single
+            # chains); the groups ride a lax.scan. G=5 bounds the shared
+            # instance buffer (and its < 2^24 exactness cap) at high splat
+            # counts. Non-tile backends keep the per-frame scan.
+            G_FR = 5
+            if self.backend == "tiles" and t % G_FR == 0:
+                from guidedvd3dgs_tpu.models.render import render_gaussians_multi
+
+                def gbody(_, per):
+                    vm, pm, cp = per
+                    cams = RasterCamera(
+                        vm, pm, cp, tanfovx, tanfovy, height, width
+                    )
+                    r = render_gaussians_multi(
+                        state.params, state.active, state.confidence, cams,
+                        self.bg, self.sh_degree, backend="tiles",
+                    )
+                    return None, (r.color, r.alpha, r.depth)
+
+                per = jax.tree.map(
+                    lambda a: a.reshape((t // G_FR, G_FR) + a.shape[1:]),
+                    (viewmats, projmats, campos),
+                )
+                _, outs = jax.lax.scan(gbody, None, per)
+                return jax.tree.map(
+                    lambda a: a.reshape((t,) + a.shape[2:]), outs
+                )
+
             def body(_, per):
                 vm, pm, cp = per
                 cam = RasterCamera(vm, pm, cp, tanfovx, tanfovy, height, width)
@@ -616,6 +651,15 @@ def make_guided_train_step(
     return train_step_guided
 
 
+# profiler toggle: price the batched two-camera render against two single
+# renders (tools/profile_guided_iter.py) without recompiling the module
+_BATCH_RENDERS = [True]
+
+
+def set_batch_renders(flag: bool) -> None:
+    _BATCH_RENDERS[0] = flag
+
+
 def make_guided_steps_chunk(
     vgg_loss_fn: Optional[Callable] = None,
     pseudo_cam_lpips_weight: float = 0.1,
@@ -660,6 +704,14 @@ def make_guided_steps_chunk(
         max_instances: int = 0,
         with_pseudo: bool = True,
     ):
+        # Train + pseudo renders share the Gaussian state; on the tile
+        # backend they run as ONE batched kernel chain (two vertical bands
+        # of a virtual framebuffer, ops/raster_tiles.rasterize_tiles_multi)
+        # — one binning sort over the union of both cameras' instances
+        # instead of two (sorts are sublinear in M, docs/PERF_NOTES.md) and
+        # every per-dispatch fixed cost paid once.
+        batch_renders = with_pseudo and backend == "tiles" and _BATCH_RENDERS[0]
+
         def body(state, per):
             idx, pidx, pw, hp, lr_xyz, do_adam, do_stats = per
             cam = jax.tree.map(lambda a: a[idx], rcs)
@@ -668,6 +720,44 @@ def make_guided_steps_chunk(
             if with_pseudo:
                 pcam = jax.tree.map(lambda a: a[pidx], pool_rcs)
                 pgt = pool_gts[pidx]
+
+            def pseudo_terms(rp_color, pl1):
+                if pseudo_ssim:
+                    ploss = (1.0 - lambda_dssim) * pl1 + lambda_dssim * (
+                        1.0 - ssim(rp_color, pgt)
+                    )
+                else:
+                    ploss = pl1
+                if vgg_loss_fn is not None:
+                    ploss = ploss + pseudo_cam_lpips_weight * vgg_loss_fn(
+                        jnp.clip(rp_color, 0, 1)[None],
+                        jnp.clip(pgt, 0, 1)[None],
+                    )
+                return ploss
+
+            def loss_fn_batched(params, offsets):
+                cams2 = jax.tree.map(lambda a, b: jnp.stack([a, b]), cam, pcam)
+                mo = render_gaussians_multi(
+                    params, state.active, state.confidence, cams2, bg,
+                    sh_degree, means2d_offset=offsets,
+                    use_confidence=use_confidence, backend="tiles",
+                    max_instances=max_instances,
+                )
+                r = RenderResult(
+                    mo.color[0], mo.depth[0], mo.alpha[0], mo.radii[0],
+                    mo.visibility_filter[0], mo.overflow, mo.num_instances,
+                )
+                rp = RenderResult(
+                    mo.color[1], mo.depth[1], mo.alpha[1], mo.radii[1],
+                    mo.visibility_filter[1], None, None,
+                )
+                ll1 = l1_loss(r.color, gt)
+                loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (
+                    1.0 - ssim(r.color, gt)
+                )
+                pl1 = l1_loss(rp.color, pgt)
+                loss = loss + pw * pseudo_terms(rp.color, pl1)
+                return loss, (r, rp, ll1, pl1)
 
             def loss_fn(params, offset, offset_p):
                 r = render_gaussians(
@@ -687,27 +777,23 @@ def make_guided_steps_chunk(
                         max_instances=max_instances,
                     )
                     pl1 = l1_loss(rp.color, pgt)
-                    if pseudo_ssim:
-                        ploss = (1.0 - lambda_dssim) * pl1 + lambda_dssim * (
-                            1.0 - ssim(rp.color, pgt)
-                        )
-                    else:
-                        ploss = pl1
-                    if vgg_loss_fn is not None:
-                        ploss = ploss + pseudo_cam_lpips_weight * vgg_loss_fn(
-                            jnp.clip(rp.color, 0, 1)[None],
-                            jnp.clip(pgt, 0, 1)[None],
-                        )
-                    loss = loss + pw * ploss
+                    loss = loss + pw * pseudo_terms(rp.color, pl1)
                     aux = (r, rp, ll1, pl1)
                 else:
                     aux = (r, None, ll1, jnp.float32(0.0))
                 return loss, aux
 
-            (loss, (r, rp, ll1, pl1)), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1, 2), has_aux=True
-            )(state.params, offset0, offset0)
-            gparams, goffset, goffset_p = grads
+            if batch_renders:
+                (loss, (r, rp, ll1, pl1)), grads = jax.value_and_grad(
+                    loss_fn_batched, argnums=(0, 1), has_aux=True
+                )(state.params, jnp.stack([offset0, offset0]))
+                gparams, goffsets = grads
+                goffset, goffset_p = goffsets[0], goffsets[1]
+            else:
+                (loss, (r, rp, ll1, pl1)), grads = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1, 2), has_aux=True
+                )(state.params, offset0, offset0)
+                gparams, goffset, goffset_p = grads
 
             def with_stats(s):
                 s = G.update_max_radii(s, r.radii, r.visibility_filter)

@@ -108,8 +108,31 @@ def load_vgg19(path: Optional[str] = None) -> Optional[Params]:
     return None
 
 
-def make_vgg_loss_fn(path: Optional[str] = None) -> Optional[Callable]:
+def random_vgg19(seed: int = 0) -> Params:
+    """Random-weight VGG19 feature params: the true architecture at the true
+    cost, for profiling the perceptual term when no pretrained weights are
+    on disk (tools/profile_guided_iter.py). NOT a quality substitute."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    chans = {0: (3, 64), 2: (64, 64), 5: (64, 128), 7: (128, 128),
+             10: (128, 256), 12: (256, 256), 14: (256, 256), 16: (256, 256),
+             19: (256, 512), 21: (512, 512), 23: (512, 512), 25: (512, 512),
+             28: (512, 512), 30: (512, 512), 32: (512, 512), 34: (512, 512)}
+    p: Params = {}
+    for ci, (cin, cout) in chans.items():
+        w = rng.normal(scale=(2.0 / (9 * cin)) ** 0.5, size=(cout, cin, 3, 3))
+        p[f"features.{ci}.weight"] = jnp.asarray(w, jnp.float32)
+        p[f"features.{ci}.bias"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def make_vgg_loss_fn(
+    path: Optional[str] = None, random_init: bool = False
+) -> Optional[Callable]:
     p = load_vgg19(path)
+    if p is None and random_init:
+        p = random_vgg19()
     if p is None:
         return None
     return lambda x, y, mask=None: vgg_perceptual_loss(p, x, y, mask)

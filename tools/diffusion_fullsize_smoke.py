@@ -74,6 +74,19 @@ def main():
 
     T, H, W = args.frames, args.height, args.width
     timings = {}  # per-stage seconds, persisted in DIFFUSION_SMOKE.json
+
+    def write_json():
+        # incremental: a late-stage crash must not lose earlier evidence
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "DIFFUSION_SMOKE.json",
+        )
+        with open(path, "w") as f:
+            json.dump(
+                {"params_m": round(tot / 1e6), "mem": mem_stats(),
+                 "shape": [T, H, W], "steps": args.steps,
+                 "timings": timings}, f, indent=1)
+            f.write("\n")
     mcfg = LatentDiffusionConfig(compute_dtype="bfloat16")
     mcfg = dataclasses.replace(
         mcfg,
@@ -116,6 +129,7 @@ def main():
     force(v)
     timings["unet_fwd_compile_s"] = round(compile_s, 1)
     timings["unet_fwd_run_s"] = round(time.time() - t0, 3)
+    write_json()
     print(
         f"A2 UNet fwd: compile {compile_s:.0f}s, run {1000*(time.time()-t0):.0f}ms, "
         f"finite={bool(jnp.isfinite(v.astype(jnp.float32)).all())} {mem_stats()}",
@@ -154,6 +168,7 @@ def main():
     force(out)
     timings["guided_step_compile_s"] = round(compile_s, 1)
     timings["guided_step_run_s"] = round(time.time() - t0, 2)
+    write_json()
     xp = out[0]
     print(
         f"B guided step: compile {compile_s:.0f}s, run {time.time()-t0:.1f}s, "
@@ -162,12 +177,15 @@ def main():
     )
 
     if args.full:
+        # sched/pr precomputed on host (stage B) and passed in: the DDIM
+        # timestep table is host-side numpy and cannot be built under jit
         @jax.jit
         def full_sample(p, v, key, bufs):
             gf = make_guidance_fn(bufs)
             return image_guided_synthesis(
                 p, mcfg, scfg, v, key,
                 guidance_fn=gf, guided_cfg=GuidedSampleConfig(),
+                sched=sched, ddim_params=pr,
             )
 
         t0 = time.time()
@@ -185,11 +203,7 @@ def main():
             flush=True,
         )
 
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "DIFFUSION_SMOKE.json"), "w") as f:
-        json.dump({"params_m": round(tot / 1e6), "mem": mem_stats(),
-                   "shape": [T, H, W], "steps": args.steps,
-                   "timings": timings}, f, indent=1)
+    write_json()
     print("OK")
 
 

@@ -34,8 +34,10 @@ import jax.numpy as jnp
 import numpy as np
 
 N_ACTIVE = int(os.environ.get("GVD_PROF_N", "31000"))
-H, W = 352, 624  # the synthetic e2e train resolution
-K = 32  # steps per scanned chunk
+# the synthetic e2e train resolution (env-overridable for CPU smoke tests)
+H = int(os.environ.get("GVD_PROF_H", "352"))
+W = int(os.environ.get("GVD_PROF_W", "624"))
+K = int(os.environ.get("GVD_PROF_K", "32"))  # steps per scanned chunk
 ITERS = 8
 
 
@@ -168,7 +170,7 @@ def main():
         )
 
     # train_steps_chunk donates its state: re-feed the returned state
-    st = jax.tree.map(lambda x: x, state)
+    st = jax.tree.map(jnp.copy, state)  # real copy: the chunk donates its input
     st, _ = chunk(st)  # compile + warm
     np.asarray(st.step)
     best = float("inf")
@@ -183,6 +185,64 @@ def main():
 
     out["kernel_share_of_step"] = round(
         out["kernel_fwd_bwd_ms"] / max(out["train_step_ms"], 1e-9), 3
+    )
+
+    # 4) the GUIDED chunk (train render + pseudo render + SSIM + masked
+    # Adam + combined densify stats), serial-two-renders vs the batched
+    # two-camera kernel chain, and the VGG term priced separately.
+    from guidedvd3dgs_tpu.train import guided as GU
+
+    pool_p = 4
+    pool_rcs = jax.tree.map(lambda a: jnp.stack([a] * pool_p), cam)
+    pool_gts = jnp.stack([gt] * pool_p)
+    kk = jnp.zeros((K,), jnp.int32)
+    ww = jnp.full((K,), 0.05, jnp.float32)
+    bb = jnp.ones((K,), bool)
+    mi2 = -(-int(2 * demand * 1.3) // CHUNK) * CHUNK
+    out["max_instances_batched"] = mi2
+
+    def guided_chunk_ms(batched, vgg_fn=None):
+        GU.set_batch_renders(batched)
+        chunk_fn = GU.make_guided_steps_chunk(vgg_loss_fn=vgg_fn)
+        def run(s):
+            return chunk_fn(
+                s, rcs, gts, pool_rcs, pool_gts,
+                kk, kk, ww, bb,
+                jnp.full((K,), 1e-4, jnp.float32), bb, bb,
+                bg, lrs,
+                sh_degree=3, lambda_dssim=0.2, use_confidence=False,
+                backend="tiles", pseudo_ssim=False,
+                max_instances=mi2 if batched else mi,
+                with_pseudo=True,
+            )
+        st2 = jax.tree.map(jnp.copy, state)  # real copy: the chunk donates
+        st2, _ = run(st2)
+        np.asarray(st2.step)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            st2, _ = run(st2)
+            np.asarray(st2.step)
+            best = min(best, time.perf_counter() - t0)
+        GU.set_batch_renders(True)
+        return round(max(best * 1000.0 - _LAT[0], 0.0) / K, 2)
+
+    out["guided_step_serial_ms"] = guided_chunk_ms(False)
+    out["guided_step_batched_ms"] = guided_chunk_ms(True)
+
+    # surrogate VGG (random weights, true architecture cost) so the term is
+    # priced even without the external torchvision weights on disk
+    try:
+        from guidedvd3dgs_tpu.utils.vgg_loss import make_vgg_loss_fn
+
+        vgg_fn = make_vgg_loss_fn(None, random_init=True)
+    except TypeError:
+        vgg_fn = None
+    if vgg_fn is not None:
+        out["guided_step_batched_vgg_ms"] = guided_chunk_ms(True, vgg_fn)
+
+    out["batched_saving_ms"] = round(
+        out["guided_step_serial_ms"] - out["guided_step_batched_ms"], 2
     )
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "GUIDED_ITER_PROFILE.json")
