@@ -69,6 +69,14 @@ for stage in "${stages[@]}"; do
         if [ ! -d "$src" ]; then
             timeout 3600 python tools/make_synthetic_scene.py --out "$src" || continue
         fi
+        # reuse an earlier session's trained baseline if one is on disk
+        for stash in /tmp/proofrun3/output/synthetic_e2e \
+                     /tmp/proofrun2/output_synthetic_e2e_stash; do
+            if [ ! -f "$base/point_cloud/iteration_10000/point_cloud.ply" ] \
+               && [ -f "$stash/point_cloud/iteration_10000/point_cloud.ply" ]; then
+                mkdir -p output && cp -r "$stash" "$base"
+            fi
+        done
         if [ ! -f "$base/point_cloud/iteration_10000/point_cloud.ply" ]; then
             timeout 14400 bash scripts/run_synthetic_e2e.sh "$src" "$base" \
                 || { echo "baseline FAILED" >&2; continue; }
