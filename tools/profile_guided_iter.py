@@ -52,12 +52,20 @@ def make_state():
     return state
 
 
-def make_cam():
+def make_cam(tz: float = 0.0):
+    """tz > 0 moves the camera toward the point cloud (centered at z=3):
+    splats cover more tiles, mimicking the higher instance demand of the
+    guided trainer's novel-pose pseudo cameras."""
     from guidedvd3dgs_tpu.ops.projection import RasterCamera
     from guidedvd3dgs_tpu.utils.graphics import getProjectionMatrix, getWorld2View2
 
     fov = math.radians(60)
-    view = np.asarray(getWorld2View2(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))).T
+    view = np.asarray(
+        getWorld2View2(
+            np.eye(3, dtype=np.float32),
+            np.array([0.0, 0.0, -tz], np.float32),
+        )
+    ).T
     proj = np.asarray(getProjectionMatrix(0.01, 100.0, fov, fov)).T
     return RasterCamera(
         jnp.asarray(view), jnp.asarray(view @ proj),
@@ -192,14 +200,28 @@ def main():
     # two-camera kernel chain, and the VGG term priced separately.
     from guidedvd3dgs_tpu.train import guided as GU
 
+    # pseudo pool camera: closer to the cloud, mimicking the novel-pose
+    # cameras' higher instance demand (the e2e guided chunk runs at the
+    # UNION buffer size, so the pseudo view's demand dominates the sorts)
+    pcam = make_cam(tz=float(os.environ.get("GVD_PROF_PSEUDO_TZ", "1.5")))
+    pdemand = int(jax.jit(
+        lambda s: render_gaussians(
+            s.params, s.active, s.confidence, pcam, bg, 3, backend="tiles",
+            max_instances=8 << 20,  # probe headroom (2^24 exactness cap)
+        ).num_instances
+    )(state))
+    out["pseudo_instance_demand"] = pdemand
+
     pool_p = 4
-    pool_rcs = jax.tree.map(lambda a: jnp.stack([a] * pool_p), cam)
+    pool_rcs = jax.tree.map(lambda a: jnp.stack([a] * pool_p), pcam)
     pool_gts = jnp.stack([gt] * pool_p)
     kk = jnp.zeros((K,), jnp.int32)
     ww = jnp.full((K,), 0.05, jnp.float32)
     bb = jnp.ones((K,), bool)
-    mi2 = -(-int(2 * demand * 1.3) // CHUNK) * CHUNK
+    mi2 = -(-int((demand + pdemand) * 1.3) // CHUNK) * CHUNK
+    mi_serial = -(-int(max(demand, pdemand) * 1.3) // CHUNK) * CHUNK
     out["max_instances_batched"] = mi2
+    out["max_instances_serial"] = mi_serial
 
     def guided_chunk_ms(batched, vgg_fn=None):
         GU.set_batch_renders(batched)
@@ -212,7 +234,7 @@ def main():
                 bg, lrs,
                 sh_degree=3, lambda_dssim=0.2, use_confidence=False,
                 backend="tiles", pseudo_ssim=False,
-                max_instances=mi2 if batched else mi,
+                max_instances=mi2 if batched else mi_serial,
                 with_pseudo=True,
             )
         st2 = jax.tree.map(jnp.copy, state)  # real copy: the chunk donates
