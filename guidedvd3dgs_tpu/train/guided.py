@@ -838,6 +838,31 @@ def make_guided_steps_chunk(
     return chunk
 
 
+@jax.jit
+def _event_artifacts_u8(pc_renders, gs_rgb, gs_alpha, gs_depth):
+    """Device-side uint8 quantization of the four per-event debug videos
+    (render0 / gs_render / alpha / normalized masked depth): the artifact
+    pulls are synchronous on the main thread (async pulls could contend on
+    the tunnel), so shrinking them 4x is the lever."""
+    u8 = lambda x: (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    d = gs_depth[:, 0] * (1.0 - gs_alpha[:, 0])
+    dn = (d - d.min()) / jnp.maximum(d.max() - d.min(), 1e-8)
+    return (
+        u8(pc_renders),
+        u8(jnp.transpose(gs_rgb, (0, 2, 3, 1))),
+        u8(gs_alpha[:, 0]),
+        u8(dn),
+    )
+
+
+@jax.jit
+def _video_u8(v):
+    """(T, 3, H, W) [0,1] -> (T, H, W, 3) uint8 on device (artifact pull)."""
+    return (
+        jnp.clip(jnp.transpose(v, (0, 2, 3, 1)), 0.0, 1.0) * 255.0 + 0.5
+    ).astype(jnp.uint8)
+
+
 @partial(jax.jit, donate_argnames=("pool",))
 def _pool_write(pool, frames, cur_slots, promo_slots):
     """Write a new event's frames into the device pseudo pool: frames[1:]
@@ -1157,25 +1182,28 @@ class GuidedTrainer(BaselineTrainer):
             _t = _time.time()
             # the reference's primary visual debugging artifacts
             # (train_guidedvd.py:531-542, viewcrafter_wrapper.py:542).
-            # Only the device->host pulls happen here; the mp4 encodes run
-            # on the artifact-writer thread and overlap the next train
-            # chunk (drained by _write_timing_summary).
+            # Quantized to uint8 ON DEVICE (one dispatch) so the synchronous
+            # device->host pulls move 1/4 of the f32 bytes through the
+            # remote tunnel; the mp4 encodes run on the artifact-writer
+            # thread and overlap the next train chunk (drained by
+            # _write_timing_summary).
             from guidedvd3dgs_tpu.utils.video import artifact_writer, save_video
 
-            artifact_writer.submit(
-                save_video, np.asarray(pc_renders), f"{event_dir}/render0.mp4"
+            pc8, rgb8, a8, d8 = _event_artifacts_u8(
+                pc_renders, gs_rgb, gs_alpha, gs_depth
             )
             artifact_writer.submit(
-                save_video, np.transpose(np.asarray(gs_rgb), (0, 2, 3, 1)),
-                f"{event_dir}/gs_render.mp4",
+                save_video, np.asarray(pc8), f"{event_dir}/render0.mp4"
             )
             artifact_writer.submit(
-                save_video, np.asarray(gs_alpha)[:, 0],
-                f"{event_dir}/gs_render_alpha.mp4",
+                save_video, np.asarray(rgb8), f"{event_dir}/gs_render.mp4"
             )
-            d = np.asarray(gs_depth * (1.0 - gs_alpha))[:, 0]
-            d = (d - d.min()) / max(float(d.max() - d.min()), 1e-8)
-            artifact_writer.submit(save_video, d, f"{event_dir}/gs_render_depth.mp4")
+            artifact_writer.submit(
+                save_video, np.asarray(a8), f"{event_dir}/gs_render_alpha.mp4"
+            )
+            artifact_writer.submit(
+                save_video, np.asarray(d8), f"{event_dir}/gs_render_depth.mp4"
+            )
 
         _t_art = _time.time() - _t
 
@@ -1302,13 +1330,25 @@ class GuidedTrainer(BaselineTrainer):
         (iteration, view, traj, video, gs_alpha, gs_depth, event_dir,
          video_key) = pending
         video_dev = video
-        video = np.asarray(video)
+        # Full-precision host pull ONLY for the paths that need f32 frames
+        # on the host (npz store / depth lift); the mp4 artifact pulls
+        # uint8 (4x fewer tunnel bytes) and the pseudo cameras keep lazy
+        # device slices (the chunked trainer reads frames from the device
+        # pool; the unscanned path jnp.asarray()s them on demand).
+        need_f32 = bool(
+            getattr(self.opt, "guidance_save_videos", False)
+            or (
+                getattr(self.opt, "append_pcd_from_video_diffusion", False)
+                and self.depth_estimator is not None
+            )
+        )
+        video = np.asarray(video_dev) if need_f32 else None
 
         if event_dir:
             from guidedvd3dgs_tpu.utils.video import artifact_writer, save_video
 
             artifact_writer.submit(
-                save_video, np.transpose(video, (0, 2, 3, 1)),
+                save_video, np.asarray(_video_u8(video_dev)),
                 f"{event_dir}/diffusion0.mp4",
             )
         if getattr(self.opt, "guidance_save_videos", False):
@@ -1354,10 +1394,14 @@ class GuidedTrainer(BaselineTrainer):
             if i == 0:
                 continue  # skip the conditioning frame (reference :621-622)
             w2c = np.linalg.inv(traj[i])
+            # pseudo_gt / mask stay LAZY DEVICE SLICES: the chunked trainer
+            # reads frames from the device pool by slot, the unscanned path
+            # jnp.asarray()s on demand, and checkpointing np.asarray()s at
+            # save time — no per-frame host pull at event finalize.
             cam = PseudoCamera(
                 R=w2c[:3, :3].T, T=w2c[:3, 3], FoVx=fovx, FoVy=fovy,
                 width=self.W, height=self.H,
-                pseudo_gt=video[i], mask=np.asarray(gs_alpha[i]),
+                pseudo_gt=video_dev[i], mask=gs_alpha[i],
                 pool_slot=(i - 1) if pooled else -1,
             )
             self.pseudo_stack.append(cam)

@@ -72,10 +72,25 @@ artifact_writer = AsyncArtifactWriter()
 
 
 def _to_uint8(frames: np.ndarray) -> np.ndarray:
-    """(T, H, W, 3) float [0,1] -> uint8."""
-    return (np.clip(np.asarray(frames, np.float32), 0.0, 1.0) * 255.0 + 0.5).astype(
+    """(T, H, W, 3) float [0,1] -> uint8 (uint8 passes through unchanged —
+    callers may quantize ON DEVICE and pull 1/4 of the bytes through the
+    remote-TPU tunnel; see to_uint8_device)."""
+    frames = np.asarray(frames)
+    if frames.dtype == np.uint8:
+        return frames
+    return (np.clip(frames.astype(np.float32), 0.0, 1.0) * 255.0 + 0.5).astype(
         np.uint8
     )
+
+
+def to_uint8_device(x):
+    """Device-side mirror of _to_uint8: quantize artifacts to uint8 BEFORE
+    the device->host pull. The mp4/png targets are 8-bit anyway, and the
+    remote-TPU tunnel moves ~190 MB of f32 frames per diffusion event when
+    pulled at full precision — this cuts every artifact pull 4x."""
+    import jax.numpy as jnp
+
+    return (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
 
 
 def save_video(frames: np.ndarray, path: str, fps: int = 10) -> None:

@@ -266,8 +266,12 @@ def main():
     out["batched_saving_ms"] = round(
         out["guided_step_serial_ms"] - out["guided_step_batched_ms"], 2
     )
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "GUIDED_ITER_PROFILE.json")
+    # GVD_PROF_OUT: write elsewhere for throwaway (CPU smoke) runs so a
+    # local run can never clobber the committed on-chip artifact
+    path = os.environ.get("GVD_PROF_OUT") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "GUIDED_ITER_PROFILE.json",
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
