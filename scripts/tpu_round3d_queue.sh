@@ -11,7 +11,7 @@ cd "$(dirname "$0")/.."
 DEST=${ARTIFACT_DEST:-$(pwd)}
 
 stages=("$@")
-[ ${#stages[@]} -eq 0 ] && stages=(smoke iter bench e2e)
+[ ${#stages[@]} -eq 0 ] && stages=(multiparity smoke iter bench e2e)
 
 probe() {
     timeout 300 python -c "import jax; assert jax.devices()[0].platform == 'tpu'" 2>/dev/null
@@ -47,6 +47,13 @@ for stage in "${stages[@]}"; do
     echo "== stage: $stage ($(date -u +%H:%M:%S)) =="
     probe_retry || { echo "tunnel unavailable at stage $stage" >&2; continue; }
     case "$stage" in
+    multiparity)
+        # cheap insurance before the batched e2e: the Mosaic compilation of
+        # the batched grid must match two single renders on REAL hardware
+        timeout 3600 python tools/check_multi_parity_onchip.py \
+            || echo "multi parity FAILED" >&2
+        mirror MULTI_PARITY.json
+        ;;
     smoke)
         timeout 10800 python tools/diffusion_fullsize_smoke.py --full \
             || echo "diffusion smoke FAILED" >&2
