@@ -1,21 +1,47 @@
-"""Approximate 3-nearest-neighbor distances via Morton-sorted windows (L1).
+"""Approximate 3-nearest-neighbor distances via Morton-sorted blocks (L1).
 
 TPU-native replacement for the reference `simple-knn` CUDA extension
 (reference: submodules/simple-knn/simple_knn.cu:192-228, spatial.cu:15-27):
 `distCUDA2(points) -> (mean_sq_dists, nearest_3_indices)`. The reference is
-itself approximate (Morton sort + 1024-point box culling); here we Morton-sort
-and search a +/-WINDOW neighborhood in the sorted order — static shapes, no
-atomics, XLA sort + top_k. Accuracy is comparable (both can miss a true NN
-across distant Morton blocks, which does not matter for the scale-init /
-densify-threshold use cases).
+itself approximate (Morton sort + 1024-point box culling with bbox
+rejection, so it searches far beyond its own box when needed).
+
+Design (TPU-idiomatic — no per-point gathers, which cost 30-70 ms per
+million rows on TPU):
+
+  1. Morton-sort the points with the coordinates as SORT PAYLOADS
+     (k-operand sorts cost ~1.2 ms/operand/M — far cheaper than an
+     argsort + row gather).
+  2. Reshape the sorted points into (nb, B) blocks. Each block's candidate
+     set is its own block plus both neighbors — a (B, 3B) pairwise
+     distance tile computed directly from block slices (pure reshapes and
+     concats; the only gather anywhere is the final (N, 3) neighbor-index
+     lookup). Every point sees >= B=128 sorted-order neighbors on each
+     side — 4x the coverage of a +/-32 gather window.
+  3. PASSES shifted-grid repeats (the quantization grid offset by a
+     fraction of a cell per pass) catch true neighbors that Morton plane
+     crossings separate in sorted order; the per-pass top-3 sets are
+     merged with exact duplicate suppression.
+
+Accuracy/latency at 1M uniform points are recorded in KNN_SCALE.json
+(tools/validate_knn_scale.py). Used by create_from_pcd scale init, the
+densify split criterion and proximity() midpoints (reference:
+scene/gaussian_model.py:156,450,421).
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
-WINDOW = 32  # candidates on each side in Morton order
+B = 128  # Morton block size (lane width)
+PASSES = 3  # shifted-grid repeats
+GB = 64  # blocks per lax.map step (bounds the (GB, B, 3B) distance tile)
+
+# kept for callers that referenced the old gather-window constant
+WINDOW = B
 
 
 def _expand_bits(v: jnp.ndarray) -> jnp.ndarray:
@@ -28,66 +54,192 @@ def _expand_bits(v: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
-def morton_codes(points: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """30-bit Morton codes of points normalized into the active bounding box."""
+def morton_codes(
+    points: jnp.ndarray, mask: jnp.ndarray, shift: float = 0.0
+) -> jnp.ndarray:
+    """30-bit Morton codes of points normalized into the active bounding
+    box; `shift` offsets the quantization grid by that FRACTION OF THE BOX
+    (shifted-grid passes). The shift magnitude matters on both sides: it
+    must exceed typical neighbor distances (every Morton bit-plane coarser
+    than the shift then lands somewhere else — sub-cell shifts leave the
+    1-pass error untouched) yet stay well below the box (the grid clips at
+    the boundary; a 2/3-box shift collapses 2/3 of the cloud into the edge
+    cells). Measured on 20k gaussian-clustered points: 1 pass ~0.13 mean
+    rel err / 0.86 true-NN hit; 3 moderately-shifted passes 4e-4 / 0.999."""
     big = jnp.float32(1e30)
     pmin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
     pmax = jnp.max(jnp.where(mask[:, None], points, -big), axis=0)
     extent = jnp.maximum(pmax - pmin, 1e-9)
     q = jnp.clip((points - pmin) / extent, 0.0, 1.0)
-    cells = jnp.minimum((q * 1024.0).astype(jnp.uint32), 1023)
+    cells = jnp.minimum((q * 1024.0 + shift * 1024.0).astype(jnp.uint32), 1023)
     ex = _expand_bits(cells[:, 0])
     ey = _expand_bits(cells[:, 1])
     ez = _expand_bits(cells[:, 2])
     return (ex << 2) | (ey << 1) | ez
 
 
-def knn3(points: jnp.ndarray, mask: jnp.ndarray | None = None, window: int = WINDOW):
-    """Return (mean_sq_dist, indices) of the 3 approximate nearest neighbors.
+def _pass_top3(points, mask, orig_idx, shift):
+    """One Morton pass: (d2 (N, 3), neighbor original indices (N, 3)) in
+    ORIGINAL point order. Missing candidates carry d2 = +inf."""
+    n = points.shape[0]
+    codes = morton_codes(points, mask, shift)
+    key = jnp.where(mask, codes, jnp.uint32(0xFFFFFFFF))
+    skey, sx, sy, sz, smask, sorig = jax.lax.sort(
+        (key, points[:, 0], points[:, 1], points[:, 2],
+         mask.astype(jnp.float32), orig_idx),
+        num_keys=1,
+    )
+    del skey
+    nb = n // B
+    blocks = jnp.stack([sx, sy, sz], axis=-1).reshape(nb, B, 3)
+    bmask = smask.reshape(nb, B) > 0.5
+    bpos = jnp.arange(n, dtype=jnp.int32).reshape(nb, B)
 
-    points: (N, 3); mask: (N,) bool of valid rows (padding rows get 0 / self
-    indices). Matches the `distCUDA2` contract used by the reference at
-    scene/gaussian_model.py:156 (scale init), :450 (split criterion) and
-    :421 (proximity).
+    # pad one invalid block at each end: candidate positions stay unique
+    # (no wraparound duplicates) and edge blocks just see fewer candidates
+    zpad = jnp.zeros((1, B, 3), blocks.dtype)
+    blocks_p = jnp.concatenate([zpad, blocks, zpad], axis=0)
+    mask_p = jnp.concatenate(
+        [jnp.zeros((1, B), bool), bmask, jnp.zeros((1, B), bool)], axis=0
+    )
+    pos_p = jnp.concatenate(
+        [jnp.full((1, B), -1, jnp.int32), bpos, jnp.full((1, B), -1, jnp.int32)],
+        axis=0,
+    )
+
+    nbg = -(-nb // GB)
+    # pad the BLOCK axis so lax.map steps are uniform
+    bpad = nbg * GB - nb
+    if bpad:
+        blocks_p = jnp.concatenate([blocks_p, jnp.tile(zpad, (bpad, 1, 1))], 0)
+        mask_p = jnp.concatenate([mask_p, jnp.zeros((bpad, B), bool)], 0)
+        pos_p = jnp.concatenate([pos_p, jnp.full((bpad, B), -1, jnp.int32)], 0)
+
+    def group(i):
+        s = i * GB
+        xs = jax.lax.dynamic_slice(blocks_p, (s + 1, 0, 0), (GB, B, 3))
+        xm = jax.lax.dynamic_slice(mask_p, (s + 1, 0), (GB, B))
+        xp = jax.lax.dynamic_slice(pos_p, (s + 1, 0), (GB, B))
+        cs = jax.lax.dynamic_slice(blocks_p, (s, 0, 0), (GB + 2, B, 3))
+        cm = jax.lax.dynamic_slice(mask_p, (s, 0), (GB + 2, B))
+        cp = jax.lax.dynamic_slice(pos_p, (s, 0), (GB + 2, B))
+        cand = jnp.concatenate(
+            [cs[:-2], cs[1:-1], cs[2:]], axis=1
+        )  # (GB, 3B, 3)
+        cmask = jnp.concatenate([cm[:-2], cm[1:-1], cm[2:]], axis=1)
+        cpos = jnp.concatenate([cp[:-2], cp[1:-1], cp[2:]], axis=1)
+        # pairwise squared distances on the MXU:
+        # d2 = |x|^2 + |c|^2 - 2 x.c  (HIGHEST: exact f32 operands)
+        xc = jnp.einsum(
+            "gid,gjd->gij", xs, cand, precision=jax.lax.Precision.HIGHEST
+        )
+        d2 = (
+            jnp.sum(xs * xs, -1)[:, :, None]
+            + jnp.sum(cand * cand, -1)[:, None, :]
+            - 2.0 * xc
+        )
+        live = (
+            cmask[:, None, :]
+            & xm[:, :, None]
+            & (cpos[:, None, :] != xp[:, :, None])
+        )
+        d2 = jnp.where(live, jnp.maximum(d2, 0.0), jnp.inf)
+        neg, ti = jax.lax.top_k(-d2, 3)  # (GB, B, 3)
+        npos = jnp.take_along_axis(
+            jnp.broadcast_to(cpos[:, None, :], d2.shape[:2] + cpos.shape[-1:]),
+            ti, axis=-1,
+        )
+        return -neg, npos
+
+    d2g, posg = jax.lax.map(group, jnp.arange(nbg, dtype=jnp.int32))
+    d2s = d2g.reshape(nbg * GB * B, 3)[: n, :]  # sorted order
+    poss = posg.reshape(nbg * GB * B, 3)[: n, :]
+    # neighbor original index: one small (N, 3) int32 gather
+    sorig_i = sorig
+    nidx = sorig_i[jnp.clip(poss, 0, n - 1)]
+    nidx = jnp.where(poss >= 0, nidx, -1)
+
+    # back to original order: re-sort by the original index payload (one
+    # 8-operand sort beats an N-row scatter)
+    _, d0, d1, d2_, i0, i1, i2 = jax.lax.sort(
+        (sorig_i, d2s[:, 0], d2s[:, 1], d2s[:, 2],
+         nidx[:, 0], nidx[:, 1], nidx[:, 2]),
+        num_keys=1,
+    )
+    return jnp.stack([d0, d1, d2_], -1), jnp.stack([i0, i1, i2], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("passes",))
+def _knn3_impl(points, mask, passes: int):
+    n0 = points.shape[0]
+    npad = -(-n0 // B) * B
+    if npad != n0:
+        points = jnp.concatenate(
+            [points, jnp.zeros((npad - n0, 3), points.dtype)], 0
+        )
+        mask = jnp.concatenate([mask, jnp.zeros((npad - n0,), bool)], 0)
+    orig = jnp.arange(npad, dtype=jnp.int32)
+
+    ds, is_ = [], []
+    for p in range(passes):
+        # pass p shifts the grid by p/passes^2 of the box (~114/227 cells
+        # for 3 passes). The shift must NOT be a power-of-two cell count:
+        # adding 2^k cells preserves every bit-plane finer than k, so all
+        # passes miss the SAME fine-plane neighbor pairs (measured: p*128
+        # shifts leave 20k-point mean rel err at the 1-pass 0.12; p*113.8
+        # reaches 4e-4). A fractional shift moves every bit boundary.
+        d, i = _pass_top3(points, mask, orig, shift=p / (passes * passes))
+        ds.append(d)
+        is_.append(i)
+    dall = jnp.concatenate(ds, -1)  # (N, 3P)
+    iall = jnp.concatenate(is_, -1)
+
+    # merge: sort candidates by distance, drop exact index duplicates
+    # (the same true neighbor found by several passes), keep the best 3
+    ordd = jnp.argsort(dall, axis=-1)
+    dall = jnp.take_along_axis(dall, ordd, -1)
+    iall = jnp.take_along_axis(iall, ordd, -1)
+    k = dall.shape[-1]
+    dup = (iall[:, :, None] == iall[:, None, :]) & jnp.tril(
+        jnp.ones((k, k), bool), -1
+    )[None]
+    dall = jnp.where(dup.any(-1), jnp.inf, dall)
+    ordm = jnp.argsort(dall, axis=-1)[:, :3]
+    d_sel = jnp.take_along_axis(dall, ordm, -1)
+    idx_sel = jnp.take_along_axis(iall, ordm, -1)
+    valid = jnp.isfinite(d_sel) & (idx_sel >= 0) & mask[:, None]
+
+    # exact distances for the selected neighbors: the |x|^2+|c|^2-2xc
+    # selection form carries ~1e-5 relative cancellation noise — harmless
+    # for picking the 3 NNs, not for the returned values (scale init takes
+    # a log of these). One small (N, 3)-row gather.
+    nb_pts = points[jnp.where(valid, idx_sel, 0)]
+    d_exact = jnp.sum((nb_pts - points[:, None, :]) ** 2, -1)
+
+    mean_d2 = jnp.where(
+        valid.any(-1),
+        jnp.where(valid, d_exact, 0.0).sum(-1) / jnp.maximum(valid.sum(-1), 1),
+        0.0,
+    )
+    mean_d2 = mean_d2 * mask
+    nn_idx = jnp.where(valid, idx_sel, jnp.arange(npad)[:, None])
+    return mean_d2[:n0], nn_idx[:n0]
+
+
+def knn3(points: jnp.ndarray, mask: jnp.ndarray | None = None,
+         passes: int = PASSES):
+    """Return (mean_sq_dist, indices) of the 3 approximate nearest
+    neighbors.
+
+    points: (N, 3); mask: (N,) bool of valid rows (padding rows get 0 /
+    self indices). Matches the `distCUDA2` contract used by the reference
+    at scene/gaussian_model.py:156 (scale init), :450 (split criterion)
+    and :421 (proximity).
     """
     n = points.shape[0]
     if mask is None:
         mask = jnp.ones((n,), bool)
-
-    codes = morton_codes(points, mask)
-    # push masked-out points to the end of the sorted order
-    sort_key = jnp.where(mask, codes, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(sort_key)
-    sorted_pts = points[order]
-    sorted_mask = mask[order]
-
-    # window of candidate neighbors in sorted order (excluding self)
-    offs = jnp.concatenate(
-        [jnp.arange(-window, 0), jnp.arange(1, window + 1)]
-    )  # (2W,)
-    pos = jnp.arange(n)[:, None] + offs[None, :]  # (N, 2W)
-    pos = jnp.clip(pos, 0, n - 1)
-    cand_pts = sorted_pts[pos]  # (N, 2W, 3)
-    cand_mask = sorted_mask[pos] & (pos != jnp.arange(n)[:, None])
-
-    d2 = jnp.sum((cand_pts - sorted_pts[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(cand_mask, d2, jnp.inf)
-    neg_top, top_idx = jax.lax.top_k(-d2, 3)  # (N, 3)
-    best_d2 = -neg_top
-    best_pos = jnp.take_along_axis(pos, top_idx, axis=1)  # sorted-index space
-    best_orig = order[best_pos]  # original indexing
-
-    finite = jnp.isfinite(best_d2)
-    mean_d2_sorted = jnp.where(
-        finite.any(-1), jnp.where(finite, best_d2, 0.0).sum(-1) / jnp.maximum(finite.sum(-1), 1), 0.0
-    )
-
-    # scatter back to original order
-    inv = jnp.zeros_like(order).at[order].set(jnp.arange(n))
-    mean_d2 = mean_d2_sorted[inv] * mask
-    nn_idx = best_orig[inv]
-    nn_idx = jnp.where(mask[:, None], nn_idx, jnp.arange(n)[:, None])
-    return mean_d2, nn_idx
+    return _knn3_impl(points, mask, passes)
 
 
 def dist_knn3(points: jnp.ndarray, mask: jnp.ndarray | None = None):

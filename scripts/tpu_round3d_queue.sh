@@ -11,7 +11,7 @@ cd "$(dirname "$0")/.."
 DEST=${ARTIFACT_DEST:-$(pwd)}
 
 stages=("$@")
-[ ${#stages[@]} -eq 0 ] && stages=(multiparity smoke iter bench e2e)
+[ ${#stages[@]} -eq 0 ] && stages=(multiparity knn smoke iter bench e2e)
 
 probe() {
     timeout 300 python -c "import jax; assert jax.devices()[0].platform == 'tpu'" 2>/dev/null
@@ -53,6 +53,13 @@ for stage in "${stages[@]}"; do
         timeout 3600 python tools/check_multi_parity_onchip.py \
             || echo "multi parity FAILED" >&2
         mirror MULTI_PARITY.json
+        ;;
+    knn)
+        # refresh KNN_SCALE.json on the block-pairwise shifted-grid knn
+        # (the committed artifact predates it: 0.37 mean rel err at 1M)
+        timeout 7200 python tools/validate_knn_scale.py \
+            || echo "knn scale FAILED" >&2
+        mirror KNN_SCALE.json
         ;;
     smoke)
         timeout 10800 python tools/diffusion_fullsize_smoke.py --full \
