@@ -11,7 +11,19 @@ cd "$(dirname "$0")/.."
 DEST=${ARTIFACT_DEST:-$(pwd)}
 
 stages=("$@")
-[ ${#stages[@]} -eq 0 ] && stages=(multiparity knn smoke iter bench e2e)
+# bench omitted: BENCH_DETAIL was refreshed by the 3c queue and the round
+# driver runs bench.py itself at round end
+[ ${#stages[@]} -eq 0 ] && stages=(multiparity knn smoke iter e2e overlap)
+
+copy_baseline() {
+    for stash in /tmp/proofrun3/output/synthetic_e2e \
+                 /tmp/proofrun2/output_synthetic_e2e_stash; do
+        if [ ! -f "$base/point_cloud/iteration_10000/point_cloud.ply" ] \
+           && [ -f "$stash/point_cloud/iteration_10000/point_cloud.ply" ]; then
+            mkdir -p output && cp -r "$stash" "$base"
+        fi
+    done
+}
 
 probe() {
     timeout 300 python -c "import jax; assert jax.devices()[0].platform == 'tpu'" 2>/dev/null
@@ -77,20 +89,31 @@ for stage in "${stages[@]}"; do
         timeout 3600 python bench.py || echo "bench FAILED" >&2
         mirror BENCH_DETAIL.json
         ;;
+    overlap)
+        # serial vs --pipeline_guidance wall-clock (round-1 ask; the 3c
+        # run lost it to a tunnel wedge inside the baseline's metrics)
+        if [ ! -d "$src" ]; then
+            timeout 3600 python tools/make_synthetic_scene.py --out "$src" || continue
+        fi
+        copy_baseline
+        if [ ! -f "$base/point_cloud/iteration_10000/point_cloud.ply" ]; then
+            timeout 14400 bash scripts/run_synthetic_e2e.sh "$src" "$base" \
+                || { echo "baseline FAILED" >&2; continue; }
+        fi
+        bash scripts/measure_pipeline_overlap.sh \
+            || echo "overlap FAILED" >&2
+        mirror PIPELINE_OVERLAP.json
+        for t in serial pipelined; do
+            mirror "output/overlap_$t/timing_summary.json"
+        done
+        ;;
     e2e)
         # fresh 10k oracle-guided run on the BATCHED two-camera chunk —
         # the headline is in-chunk it/s vs the r3 run's 4.68
         if [ ! -d "$src" ]; then
             timeout 3600 python tools/make_synthetic_scene.py --out "$src" || continue
         fi
-        # reuse an earlier session's trained baseline if one is on disk
-        for stash in /tmp/proofrun3/output/synthetic_e2e \
-                     /tmp/proofrun2/output_synthetic_e2e_stash; do
-            if [ ! -f "$base/point_cloud/iteration_10000/point_cloud.ply" ] \
-               && [ -f "$stash/point_cloud/iteration_10000/point_cloud.ply" ]; then
-                mkdir -p output && cp -r "$stash" "$base"
-            fi
-        done
+        copy_baseline
         if [ ! -f "$base/point_cloud/iteration_10000/point_cloud.ply" ]; then
             timeout 14400 bash scripts/run_synthetic_e2e.sh "$src" "$base" \
                 || { echo "baseline FAILED" >&2; continue; }
