@@ -84,7 +84,15 @@ def main():
     cams_s = stack_cameras(cams)
     bg = jnp.zeros((3,), jnp.float32)
     args = make_scene()
-    mi = 8 << 20
+    # measure demand, then size the buffers 1.3x (an oversized static
+    # buffer bloats the sort programs and their compile time)
+    probe = jax.jit(
+        lambda m, s, r, o, sh: rasterize_tiles(
+            m, s, r, o, sh, cams[1], bg, sh_degree=3, max_instances=2 << 20
+        ).num_instances
+    )
+    demand = int(probe(*args))
+    mi = 2 * (-(-int(demand * 1.3) // 4096) * 4096)
 
     wy = jnp.cos(jnp.arange(H, dtype=jnp.float32))[None, :, None]
 
