@@ -177,28 +177,34 @@ def main():
     )
 
     if args.full:
-        # sched/pr precomputed on host (stage B) and passed in: the DDIM
-        # timestep table is host-side numpy and cannot be built under jit
-        @jax.jit
-        def full_sample(p, v, key, bufs):
-            gf = make_guidance_fn(bufs)
-            return image_guided_synthesis(
-                p, mcfg, scfg, v, key,
-                guidance_fn=gf, guided_cfg=GuidedSampleConfig(),
-                sched=sched, ddim_params=pr,
-            )
+        # HOST-LOOPED sampler: one compiled program per piece, reusing the
+        # stage-B step executable. A single jitted whole-synthesis program
+        # (conditioning + 50-step scan + per-frame decode in ONE
+        # executable) crashed the TPU worker at this size — its program
+        # text alone exceeds 1 GB on top of the ~11.8 GB working set. The
+        # host loop costs 50 dispatches (~25 ms each through the tunnel)
+        # against ~260 s of step compute — noise. The reference runs the
+        # same structure (a python loop over DDIM steps,
+        # ddim_guidance.py:136-202).
+        from guidedvd3dgs_tpu.diffusion.model import decode_video_frames
 
+        lh, lw = H // 8, W // 8
+        key = jax.random.key(6)
+        key, nk = jax.random.split(key)
+        xs = jax.random.normal(nk, (1, T, lh, lw, 4), jnp.float32)
         t0 = time.time()
-        frames = full_sample(params, video, jax.random.key(6), buffers)
-        force(frames)
-        timings["full_sample_compile_s"] = round(time.time() - t0, 1)
-        t0 = time.time()
-        frames = full_sample(params, video, jax.random.key(6), buffers)
+        for i in range(scfg.ddim_steps - 1, -1, -1):
+            key, sk = jax.random.split(key)
+            out = step_fn(params, cond, uncond, buffers, xs, jnp.int32(i), sk)
+            xs = out[0]
+        dec = jax.jit(lambda p, z: decode_video_frames(p, mcfg, z))
+        frames = dec(params, xs[0])
         force(frames)
         timings["full_sample_s"] = round(time.time() - t0, 1)
+        timings["full_sample_mode"] = "host_loop"
         print(
-            f"C full {scfg.ddim_steps}-step guided sample: compile+run "
-            f"{timings['full_sample_compile_s']:.0f}s, run {timings['full_sample_s']:.0f}s, "
+            f"C full {scfg.ddim_steps}-step guided sample (host loop): "
+            f"{timings['full_sample_s']:.0f}s incl. decode compile, "
             f"finite={bool(jnp.isfinite(frames.astype(jnp.float32)).all())} {mem_stats()}",
             flush=True,
         )
