@@ -85,21 +85,35 @@ def _calibrate_latency():
     _LATENCY_MS[0] = best
 
 
+REPS = int(os.environ.get("GVD_BENCH_REPS", "5"))
+
+
 def _timed(rep_fn, args):
     """block_until_ready is NOT a reliable completion barrier through the
     remote (axon) TPU tunnel — only a host readback is. The rep_fn's scan
     amortizes the dispatch+readback latency over ITERS and the calibrated
-    latency is subtracted."""
+    latency is subtracted. Median-of-REPS with the full series recorded:
+    round 3 saw a single capture swing the headline 69.5 -> 101.7 ms, so a
+    lone best-of-2 is not a metric."""
     out = rep_fn(*args)
     np.asarray(jax.tree.leaves(out)[0])  # compile + warm, forced readback
-    best = float("inf")
-    for _ in range(2):
+    series = []
+    for _ in range(REPS):
         t0 = time.perf_counter()
         out = rep_fn(*args)
         for leaf in jax.tree.leaves(out):
             np.asarray(leaf)
-        best = min(best, time.perf_counter() - t0)
-    return max(best * 1000.0 - _LATENCY_MS[0], 0.0) / ITERS, out
+        series.append(
+            max((time.perf_counter() - t0) * 1000.0 - _LATENCY_MS[0], 0.0) / ITERS
+        )
+    med = float(np.median(series))
+    stats = {
+        "median_ms": round(med, 3),
+        "min_ms": round(min(series), 3),
+        "max_ms": round(max(series), 3),
+        "series_ms": [round(s, 3) for s in series],
+    }
+    return med, stats, out
 
 
 def bench():
@@ -137,7 +151,7 @@ def bench():
 
         return jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)[1]
 
-    fwd_ms, _ = _timed(fwd_rep, args)
+    fwd_ms, fwd_stats, _ = _timed(fwd_rep, args)
 
     vg = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))
 
@@ -151,7 +165,7 @@ def bench():
         _, (vals, grads) = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
         return vals, grads
 
-    ms, out = _timed(g_rep, args)
+    ms, bwd_stats, out = _timed(g_rep, args)
     finite = all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(out[1]))
     # model-FLOP estimate for achieved-throughput tracking: every binned
     # instance touches its tile's 256 pixels; ~40 f32 ops/instance-pixel in
@@ -162,6 +176,8 @@ def bench():
     detail = {
         "fwd_ms": round(fwd_ms, 3),
         "fwd_bwd_ms": round(ms, 3),
+        "fwd_stats": fwd_stats,
+        "fwd_bwd_stats": bwd_stats,
         "instance_demand": demand,
         "max_instances": mi,
         "grads_finite": finite,
