@@ -57,6 +57,58 @@ class GuidedSampleConfig(NamedTuple):
     rho_scale: float = 0.2  # reference :351 `rho_scale = 0.2 * scale_w`
     recur_steps: int = 1
     mean_loss: bool = False
+    # How the CFG cond/uncond pair runs through the UNet inside the vjp
+    # (pure perf/memory trade — all modes are numerically equivalent):
+    #   "serial_ckpt": lax.map over the stacked pair with jax.checkpoint
+    #       around each application. Minimum HBM: neither branch's residuals
+    #       are ever stored, and the two recomputed backwards can never be
+    #       scheduled concurrently. Maximum FLOPs (one extra full fwd per
+    #       branch in the backward).
+    #   "serial": lax.map over the pair, no outer checkpoint — the UNet's
+    #       per-block remat (UNetConfig.remat) still bounds residuals to
+    #       block boundaries, which persist from fwd to bwd.
+    #   "batched": ONE UNet application at batch 2 (cond ++ uncond), no
+    #       outer checkpoint. Best MXU utilization, highest transient HBM.
+    pair_mode: str = "serial_ckpt"
+    # Frames per batched VAE-decode guidance gradient (1 = the reference's
+    # per-frame loop, loss_guidance_batch=1 fallback ddim_guidance.py:299-327)
+    decode_chunk: int = 1
+
+
+def _per_frame_guidance_grads(
+    floss,  # (z_frame, frame_idx) -> (summed loss, numel)
+    zs: jnp.ndarray,  # (T, h, w, 4) pred_x0 latents
+    scfg: GuidedSampleConfig,
+) -> jnp.ndarray:
+    """dL/dpred_x0 per frame through the VAE decode. decode_chunk > 1 runs
+    that many frames per batched decode vjp (one scan step), trading HBM for
+    MXU batch; any trajectory length is padded up to a chunk multiple
+    (padded slots replay frame 0; their grads are sliced away)."""
+
+    def frame_grad(z_f, frame_idx):
+        g, numel = jax.grad(floss, has_aux=True)(z_f, frame_idx)
+        if not scfg.mean_loss:
+            g = g / numel
+        return g
+
+    n_frames = zs.shape[0]
+    ck = max(1, min(int(scfg.decode_chunk), n_frames))
+    if ck == 1:
+        _, grads = jax.lax.scan(
+            lambda c, inp: (c, frame_grad(*inp)), None,
+            (zs, jnp.arange(n_frames)),
+        )
+        return grads
+    pad = (-n_frames) % ck
+    zsp = jnp.concatenate([zs, zs[:1].repeat(pad, 0)], 0) if pad else zs
+    idx = jnp.arange(n_frames)
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+    _, gchunks = jax.lax.scan(
+        lambda c, inp: (c, jax.vmap(frame_grad)(*inp)), None,
+        (zsp.reshape(-1, ck, *zs.shape[1:]), idx.reshape(-1, ck)),
+    )
+    return gchunks.reshape(-1, *zs.shape[1:])[:n_frames]
 
 
 def _guided_step(
@@ -89,14 +141,25 @@ def _guided_step(
     #     transient working set).
     # Cost: one extra UNet fwd per branch in the backward — the deliberate
     # FLOPs-for-HBM trade.
-    cu = jax.tree.map(lambda a, b: jnp.stack([a, b]), cond, uncond)
+    if scfg.pair_mode == "batched":
+        # cond ++ uncond as one batch-2 UNet application
+        cu = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), cond, uncond)
+    else:
+        cu = jax.tree.map(lambda a, b: jnp.stack([a, b]), cond, uncond)
 
     def pred_x0_of_x(xv):
-        vs = jax.lax.map(
-            jax.checkpoint(lambda c_: apply_model(params, mcfg, xv, t, c_)), cu
-        )
-        v_cond = jax.tree.map(lambda a: a[0], vs)
-        v_uncond = jax.tree.map(lambda a: a[1], vs)
+        if scfg.pair_mode == "batched":
+            xb = jnp.concatenate([xv, xv], axis=0)
+            tb = jnp.concatenate([t, t], axis=0)
+            vs = apply_model(params, mcfg, xb, tb, cu)
+            v_cond, v_uncond = vs[0:1], vs[1:2]
+        else:
+            app = lambda c_: apply_model(params, mcfg, xv, t, c_)
+            if scfg.pair_mode == "serial_ckpt":
+                app = jax.checkpoint(app)
+            vs = jax.lax.map(app, cu)
+            v_cond = jax.tree.map(lambda a: a[0], vs)
+            v_uncond = jax.tree.map(lambda a: a[1], vs)
         mo = v_uncond + scfg.cfg_scale * (v_cond - v_uncond)
         mo = rescale_noise_cfg(mo, v_cond, scfg.guidance_rescale)
         px0 = predict_start_from_z_and_v(sched, xv, t, mo) * rescale
@@ -117,15 +180,8 @@ def _guided_step(
         loss, numel = guidance_fn(d, index, frame_idx)
         return loss, numel
 
-    def scan_body(carry, inp):
-        z_f, frame_idx = inp
-        g, numel = jax.grad(floss, has_aux=True)(z_f, frame_idx)
-        if not scfg.mean_loss:
-            g = g / numel
-        return carry, g
-
     zs = jax.lax.stop_gradient(pred_x0[0])  # (T, h, w, 4)
-    _, grads = jax.lax.scan(scan_body, None, (zs, jnp.arange(zs.shape[0])))
+    grads = _per_frame_guidance_grads(floss, zs, scfg)
     grads = grads[None]  # (1, T, h, w, 4) = dL/dpred_x0
 
     (gx,) = vjp_fn(grads.astype(pred_x0.dtype))  # dL/dx through the UNet pair

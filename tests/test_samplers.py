@@ -251,3 +251,63 @@ def test_guided_ddim_pred_x0_trace(tiny):
         guidance_fn, GuidedSampleConfig(rho_scale=2.0),
     )
     np.testing.assert_allclose(np.asarray(x0), np.asarray(x0_ref), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_guided_step_pair_modes_equivalent(tiny):
+    """serial / serial_ckpt / batched CFG-pair modes and decode chunking are
+    pure perf/memory trades — identical numerics on the same inputs."""
+    from guidedvd3dgs_tpu.diffusion.samplers.ddim_guidance import _guided_step
+
+    cfg, params = tiny
+    sched = cfg.schedule()
+    pr = S.make_ddim_params(sched, 3, eta=1.0, method="uniform_trailing")
+    b, t, h, w = 1, 2, 8, 8
+    cond = _cond(jax.random.key(1), b, t, 16, h, w)
+    uncond = cond._replace(context=jnp.zeros_like(cond.context))
+    target = jnp.zeros((t, h, w, 3)) + 0.25
+
+    def guidance_fn(frame, ddim_index, frame_idx):
+        diff = (frame - target[frame_idx]) ** 2
+        return 0.5 * diff.sum(), jnp.float32(diff.size)
+
+    x = jax.random.normal(jax.random.key(2), (b, t, h, w, 4))
+
+    def run(pair_mode, decode_chunk):
+        scfg = GuidedSampleConfig(
+            rho_scale=2.0, pair_mode=pair_mode, decode_chunk=decode_chunk
+        )
+        x_prev, px0, _ = _guided_step(
+            params, cfg, sched, pr, cond, uncond, scfg, guidance_fn,
+            jnp.float32(1.0), x, jnp.int32(2), jax.random.key(3),
+        )
+        return np.asarray(x_prev), np.asarray(px0)
+
+    ref_x, ref_p = run("serial_ckpt", 1)
+    for mode, ck in [("serial", 1), ("batched", 1), ("serial_ckpt", 2)]:
+        got_x, got_p = run(mode, ck)
+        np.testing.assert_allclose(got_x, ref_x, rtol=0, atol=1e-5,
+                                   err_msg=f"{mode}/ck={ck}")
+        np.testing.assert_allclose(got_p, ref_p, rtol=0, atol=1e-5)
+
+
+def test_per_frame_guidance_grads_chunk_pad():
+    """Chunked decode grads must match the per-frame loop exactly, including
+    when the chunk does not divide the trajectory length (pad path)."""
+    from guidedvd3dgs_tpu.diffusion.samplers.ddim_guidance import (
+        _per_frame_guidance_grads,
+    )
+
+    zs = jax.random.normal(jax.random.key(0), (5, 4, 4, 2))
+    scale = jnp.arange(1.0, 6.0)
+
+    def floss(z_f, frame_idx):
+        return (scale[frame_idx] * z_f ** 2).sum(), jnp.float32(7.0)
+
+    ref = _per_frame_guidance_grads(floss, zs, GuidedSampleConfig(decode_chunk=1))
+    for ck in (2, 3, 5, 99):
+        got = _per_frame_guidance_grads(
+            floss, zs, GuidedSampleConfig(decode_chunk=ck)
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6,
+                                   err_msg=f"ck={ck}")
