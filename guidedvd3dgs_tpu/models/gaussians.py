@@ -255,26 +255,43 @@ def update_max_radii(
 
 
 def _append_rows(state: GaussianState, new: GaussianParams, sel: jnp.ndarray) -> GaussianState:
-    """Scatter rows of `new` where `sel` into free slots after the active
+    """Place rows of `new` where `sel` into free slots after the active
     prefix. Adam moments of appended rows are zero and stats are zeroed by the
     caller — the contract of `cat_tensors_to_optimizer` +
     `densification_postfix` (reference: gaussian_model.py:368-421). Rows that
-    would exceed capacity are dropped."""
+    would exceed capacity are dropped (stable index order, like the
+    reference's cat-then-truncate).
+
+    TPU note: this is deliberately scatter-free. The obvious
+    `.at[dest].set(src)` lowers to an XLA scatter, which serializes on TPU
+    (measured ~1.8 ms per scattered MB, tools/profile_prims.py) — six
+    appends per densify event over the ~700 MB param+Adam trees cost ~35 s
+    at 1M points that way. Instead: a stable argsort of ~sel front-compacts
+    the selected rows (one 2-operand sort of C keys), a gather realizes
+    them, a roll by n_active lines them up with the free-slot window, and a
+    select merges — gathers and elementwise ops only, all at memory speed."""
     cap = state.capacity
     n_active = state.active.sum()
-    dest = n_active + jnp.cumsum(sel) - 1  # destination per selected row
-    ok = sel & (dest < cap)
-    # unselected/overflow rows get an out-of-range index -> dropped by scatter
-    idx = jnp.where(ok, dest, cap)
+    n_sel = sel.sum()
+    order = jnp.argsort(~sel, stable=True)  # selected rows first, index order
+    slot = jnp.arange(cap)
+    write = (slot >= n_active) & (slot < jnp.minimum(n_active + n_sel, cap))
 
-    def scatter2(dst, src):
-        return dst.at[idx].set(src, mode="drop")
+    def place(dst, src):
+        src_sorted = jnp.take(src, order, axis=0)
+        rolled = jnp.roll(src_sorted, n_active, axis=0)
+        w = write.reshape((-1,) + (1,) * (dst.ndim - 1))
+        return jnp.where(w, rolled, dst)
 
-    params = jax.tree.map(scatter2, state.params, new)
-    zeros_new = jax.tree.map(lambda d, s: d.at[idx].set(jnp.zeros_like(s), mode="drop"), state.adam_m, new)
-    v_new = jax.tree.map(lambda d, s: d.at[idx].set(jnp.zeros_like(s), mode="drop"), state.adam_v, new)
-    active = state.active.at[idx].set(True, mode="drop")
-    confidence = state.confidence.at[idx].set(1.0, mode="drop")
+    def zero_appended(dst):
+        w = write.reshape((-1,) + (1,) * (dst.ndim - 1))
+        return jnp.where(w, jnp.zeros((), dst.dtype), dst)
+
+    params = jax.tree.map(place, state.params, new)
+    zeros_new = jax.tree.map(zero_appended, state.adam_m)
+    v_new = jax.tree.map(zero_appended, state.adam_v)
+    active = state.active | write
+    confidence = jnp.where(write, 1.0, state.confidence)
     return state._replace(
         params=params, adam_m=zeros_new, adam_v=v_new, active=active, confidence=confidence
     )

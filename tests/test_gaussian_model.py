@@ -171,3 +171,24 @@ def test_add_points_and_grow_capacity():
     assert st3.capacity == 64
     assert int(st3.num_active()) == 24
     np.testing.assert_allclose(np.asarray(st3.params.rotation[50]), [1, 0, 0, 0])
+
+
+def test_append_rows_drops_overflow_in_index_order():
+    """At capacity, _append_rows must keep the earliest selected rows (stable
+    index order, the reference's cat-then-truncate) and leave existing rows
+    untouched — exercises the scatter-free roll-wrap drop path."""
+    st = make_state(n=60, cap=64)
+    sel = np.zeros(64, bool)
+    sel[[3, 10, 20, 30, 40, 50]] = True  # 6 selected, only 4 free slots
+    new = jax.tree.map(lambda x: x + 100.0, st.params)
+    st2 = G._append_rows(st, new, jnp.asarray(sel))
+    assert int(st2.num_active()) == 64
+    xyz = np.asarray(st2.params.xyz)
+    old = np.asarray(st.params.xyz)
+    # existing rows untouched
+    np.testing.assert_array_equal(xyz[:60], old[:60])
+    # first 4 selected rows (index order) appended, last 2 dropped
+    np.testing.assert_allclose(xyz[60:64], old[[3, 10, 20, 30]] + 100.0)
+    # appended Adam moments are zero
+    assert float(np.abs(np.asarray(st2.adam_m.xyz)[60:64]).sum()) == 0.0
+    assert float(np.asarray(st2.confidence)[60:64].min()) == 1.0
