@@ -276,10 +276,16 @@ def _append_rows(state: GaussianState, new: GaussianParams, sel: jnp.ndarray) ->
     order = jnp.argsort(~sel, stable=True)  # selected rows first, index order
     slot = jnp.arange(cap)
     write = (slot >= n_active) & (slot < jnp.minimum(n_active + n_sel, cap))
+    # rotate the index vector so slot n_active reads selected row 0 — a
+    # dynamic_slice of the doubled order, NOT jnp.roll on the data: a traced
+    # roll of the (C, ...) leaves makes XLA materialize a CxC one-hot
+    # permutation matrix (observed f32[1M,1M] compile failure)
+    shifted_order = jax.lax.dynamic_slice(
+        jnp.concatenate([order, order]), ((cap - n_active) % cap,), (cap,)
+    )
 
     def place(dst, src):
-        src_sorted = jnp.take(src, order, axis=0)
-        rolled = jnp.roll(src_sorted, n_active, axis=0)
+        rolled = jnp.take(src, shifted_order, axis=0)
         w = write.reshape((-1,) + (1,) * (dst.ndim - 1))
         return jnp.where(w, rolled, dst)
 
@@ -291,7 +297,7 @@ def _append_rows(state: GaussianState, new: GaussianParams, sel: jnp.ndarray) ->
     zeros_new = jax.tree.map(zero_appended, state.adam_m)
     v_new = jax.tree.map(zero_appended, state.adam_v)
     active = state.active | write
-    confidence = jnp.where(write, 1.0, state.confidence)
+    confidence = jnp.where(write[:, None], 1.0, state.confidence)  # (C, 1)
     return state._replace(
         params=params, adam_m=zeros_new, adam_v=v_new, active=active, confidence=confidence
     )
@@ -419,6 +425,14 @@ def densify_and_prune(
     # fresh clones have zero grads; pad grads to capacity semantics
     state = densify_and_split(state, jnp.pad(grads, ((0, 0), (0, 0))), key, cfg)
     if cfg.proximity_enabled:
+        # split just deactivated its source rows, so `active` has holes —
+        # restore the compacted-prefix invariant _append_rows relies on
+        # (without this, proximity's appends land on slots still occupied
+        # by the tail of split's children and silently overwrite them; the
+        # reference never hits this because its torch arrays physically
+        # shrink on prune, gaussian_model.py:368-421)
+        if cfg.prune_enabled:
+            state = compact(state)
         state = proximity(state, cfg)
 
     prune_mask = state.active & (get_opacity(state.params)[:, 0] < cfg.min_opacity)

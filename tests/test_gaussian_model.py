@@ -192,3 +192,23 @@ def test_append_rows_drops_overflow_in_index_order():
     # appended Adam moments are zero
     assert float(np.abs(np.asarray(st2.adam_m.xyz)[60:64]).sum()) == 0.0
     assert float(np.asarray(st2.confidence)[60:64].min()) == 1.0
+
+
+def test_proximity_after_split_does_not_clobber_children():
+    """Split deactivates its source rows mid-event, leaving holes in the
+    active prefix; proximity's appends must not overwrite split children
+    (regression: suffix-append assumed a compacted prefix)."""
+    st = make_state(n=16, cap=4096)
+    accum = st.xyz_gradient_accum.at[:16].set(1.0)  # every row splits
+    denom = st.denom.at[:16].set(1.0)
+    st = st._replace(xyz_gradient_accum=accum, denom=denom)
+    cfg = G.DensifyConfig(
+        grad_threshold=0.5, min_opacity=0.005,
+        extent=1e-6,  # tiny extent: everything "large" => split + proximity
+        max_screen_size=0.0, percent_dense=0.01, dist_thres=1e12,
+        prune_enabled=True, proximity_enabled=True,
+    )
+    st2 = G.densify_and_prune(st, jax.random.key(0), cfg)
+    # 16 split sources removed, 32 children added; proximity then selects
+    # all 32 actives and appends 3 midpoints each: 32 + 96 = 128
+    assert int(st2.num_active()) == 128
