@@ -102,8 +102,14 @@ def set_fused_preproc(flag: bool) -> None:
 
 
 def _use_fused(static_cfg) -> bool:
+    # the fused decision is SNAPSHOTTED into static_cfg at the
+    # rasterize_tiles/rasterize_tiles_multi entry (element 7), so the
+    # custom_vjp fwd/bwd pair and every jit cache key on it — toggling
+    # set_fused_preproc() mid-session can never make a cached forward
+    # disagree with its backward about the residual tuple structure
     has_sh, has_cpre, has_cov = static_cfg[3], static_cfg[4], static_cfg[5]
-    return _FUSED_PREPROC[0] and has_sh and not has_cpre and not has_cov
+    fused_snap = static_cfg[7] if len(static_cfg) > 7 else _FUSED_PREPROC[0]
+    return fused_snap and has_sh and not has_cpre and not has_cov
 
 
 def _split3(x):
@@ -987,7 +993,7 @@ def _raster_fwd(static_cfg, height, width, *args):
 
 
 def _raster_bwd(static_cfg, height, width, res, cotangents):
-    sh_degree, scale_modifier, max_instances, has_sh, has_cpre, has_cov, has_off = static_cfg
+    sh_degree, scale_modifier, max_instances, has_sh, has_cpre, has_cov, has_off = static_cfg[:7]
     fused = _use_fused(static_cfg)
     if fused:
         (
@@ -1098,6 +1104,7 @@ def rasterize_tiles(
         colors_precomp is not None,
         cov3d_precomp is not None,
         means2d_offset is not None,
+        _FUSED_PREPROC[0],  # snapshot: keys jit caches + fwd/bwd agreement
     )
     color, depth, alpha, radii, (overflow, num_instances) = _raster_core(
         static_cfg, cam.height, cam.width,
@@ -1285,7 +1292,7 @@ def _raster_multi_fwd(static_cfg, n_cams, height, width, *args):
 
 
 def _raster_multi_bwd(static_cfg, n_cams, height, width, res, cotangents):
-    sh_degree, scale_modifier, max_instances, has_sh, _, _, has_off = static_cfg
+    sh_degree, scale_modifier, max_instances, has_sh, _, _, has_off = static_cfg[:7]
     fused = _use_fused(static_cfg)
     if fused:
         (
@@ -1408,6 +1415,7 @@ def rasterize_tiles_multi(
         False,
         False,
         means2d_offset is not None,
+        _FUSED_PREPROC[0],  # snapshot: keys jit caches + fwd/bwd agreement
     )
     # stack_cameras keeps height/width as static ints; tanfovx/tanfovy may
     # be scalars or stacked (B,) arrays (_cam_of picks per camera).

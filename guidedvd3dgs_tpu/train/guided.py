@@ -110,7 +110,7 @@ class FrozenRenderer:
             # instance buffer (and its < 2^24 exactness cap) at high splat
             # counts. Non-tile backends keep the per-frame scan.
             G_FR = 5
-            if self.backend == "tiles" and t % G_FR == 0:
+            if self.backend == "tiles" and t >= G_FR:
                 from guidedvd3dgs_tpu.models.render import render_gaussians_multi
 
                 def gbody(_, per):
@@ -124,13 +124,21 @@ class FrozenRenderer:
                     )
                     return None, (r.color, r.alpha, r.depth)
 
+                # any trajectory length takes the batched path: floor(t/G)
+                # full groups via the scan, plus ONE remainder group padded
+                # by replaying the last frame (its outputs are sliced away)
+                # — a length change must not silently fall back to the slow
+                # per-frame scan (ADVICE r3 #3)
+                tp = -(-t // G_FR) * G_FR
                 per = jax.tree.map(
-                    lambda a: a.reshape((t // G_FR, G_FR) + a.shape[1:]),
+                    lambda a: jnp.concatenate(
+                        [a] + [a[-1:]] * (tp - t), axis=0
+                    ).reshape((tp // G_FR, G_FR) + a.shape[1:]),
                     (viewmats, projmats, campos),
                 )
                 _, outs = jax.lax.scan(gbody, None, per)
                 return jax.tree.map(
-                    lambda a: a.reshape((t,) + a.shape[2:]), outs
+                    lambda a: a.reshape((tp,) + a.shape[2:])[:t], outs
                 )
 
             def body(_, per):
@@ -1419,7 +1427,14 @@ class GuidedTrainer(BaselineTrainer):
                     self._slot_cam[slot] = alt
                     self.pseudo_stack_alltime.append(alt)
                 else:
-                    self.pseudo_stack_alltime.append(cam)
+                    # non-pooled path: all-time cameras outlive the event, so
+                    # a lazy device slice would pin the whole (T,3,H,W)
+                    # diffusion video in HBM for every event that promoted a
+                    # frame — pull promoted frames to host now (ADVICE r3 #4)
+                    alt = copy.copy(cam)
+                    alt.pseudo_gt = np.asarray(cam.pseudo_gt)
+                    alt.mask = np.asarray(cam.mask)
+                    self.pseudo_stack_alltime.append(alt)
         if pooled:
             self._pool_gts = _pool_write(
                 self._pool_gts, video_dev[1:], self._cur_slots,

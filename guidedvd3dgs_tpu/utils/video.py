@@ -9,6 +9,7 @@ OpenCV (mp4v) with a png-sequence fallback when no codec is available.
 
 from __future__ import annotations
 
+import atexit
 import os
 import queue
 import threading
@@ -34,6 +35,18 @@ class AsyncArtifactWriter:
         self._q: "queue.Queue" = queue.Queue()
         self._errs: list = []
         self._thread: Optional[threading.Thread] = None
+        # the worker is a daemon thread: without this, queued writes would
+        # be silently dropped at interpreter exit whenever training dies on
+        # a path that skips the timing-summary drain (ADVICE r3 #2)
+        atexit.register(self._drain_at_exit)
+
+    def _drain_at_exit(self) -> None:
+        try:
+            self.drain()
+        except Exception as e:  # never mask the original exit reason
+            import sys
+
+            print(f"AsyncArtifactWriter: {e}", file=sys.stderr)
 
     def _worker(self) -> None:
         while True:
