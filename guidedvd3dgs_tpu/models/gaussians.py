@@ -250,8 +250,47 @@ def update_max_radii(
 
 
 # ----------------------------------------------------------------------------
-# append / prune machinery (mask + scatter, fixed capacity)
+# append / prune machinery (fixed capacity, sort-carried permutations)
+#
+# TPU primitive costs at C ~ 1M rows (tools/profile_prims.py + round-4
+# measurements): XLA row scatter ~1.8 ms/MB, row gather 0.6-1000 ms/MB
+# depending on leaf shape (skinny (C,3) gathers degrade to ~1 us/element),
+# while k-operand lax.sort streams at ~0.6 ms per payload operand. So every
+# row permutation here RIDES A STABLE SORT as payload columns — never a
+# gather, never a scatter.
 # ----------------------------------------------------------------------------
+
+
+def _sort_carried(key: jnp.ndarray, tree, extra_cols=()):
+    """Stable-sort every (C, ...) leaf of `tree` (plus any extra (C,)
+    columns) by the int32 `key`: each leaf is split into (C,) columns that
+    ride the ONE lax.sort as payload operands, then reassembled. Returns
+    (sorted_tree, sorted_extras)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    ops = []
+    for lf in leaves:
+        flat = lf.reshape(lf.shape[0], -1)
+        for c in range(flat.shape[1]):
+            col = flat[:, c]
+            ops.append(col.astype(jnp.int32) if col.dtype == jnp.bool_ else col)
+    n_tree_ops = len(ops)
+    for col in extra_cols:
+        ops.append(col.astype(jnp.int32) if col.dtype == jnp.bool_ else col)
+    sorted_all = jax.lax.sort((key, *ops), num_keys=1, is_stable=True)[1:]
+    out_leaves = []
+    i = 0
+    for lf in leaves:
+        k = int(np.prod(lf.shape[1:])) if lf.ndim > 1 else 1
+        cols = [
+            c.astype(lf.dtype) if lf.dtype == jnp.bool_ else c
+            for c in sorted_all[i : i + k]
+        ]
+        i += k
+        out_leaves.append(jnp.stack(cols, axis=1).reshape(lf.shape))
+    extras = []
+    for col, s in zip(extra_cols, sorted_all[n_tree_ops:]):
+        extras.append(s.astype(col.dtype) if col.dtype == jnp.bool_ else s)
+    return jax.tree.unflatten(treedef, out_leaves), tuple(extras)
 
 
 def _append_rows(state: GaussianState, new: GaussianParams, sel: jnp.ndarray) -> GaussianState:
@@ -262,30 +301,27 @@ def _append_rows(state: GaussianState, new: GaussianParams, sel: jnp.ndarray) ->
     would exceed capacity are dropped (stable index order, like the
     reference's cat-then-truncate).
 
-    TPU note: this is deliberately scatter-free. The obvious
-    `.at[dest].set(src)` lowers to an XLA scatter, which serializes on TPU
-    (measured ~1.8 ms per scattered MB, tools/profile_prims.py) — six
-    appends per densify event over the ~700 MB param+Adam trees cost ~35 s
-    at 1M points that way. Instead: a stable argsort of ~sel front-compacts
-    the selected rows (one 2-operand sort of C keys), a gather realizes
-    them, a roll by n_active lines them up with the free-slot window, and a
-    select merges — gathers and elementwise ops only, all at memory speed."""
+    TPU note: deliberately scatter-free AND gather-free (see the section
+    comment above): the selected rows of `new` are front-compacted by ONE
+    data-carried stable sort (~45 ms at 1M rows vs ~5 s of scatters), each
+    sorted column is rotated into the free-slot window with a dynamic_slice
+    of its doubled self (a traced jnp.roll on (C, ...) data makes XLA
+    materialize a CxC one-hot permutation matrix), and a select merges.
+    Only `new` rides the sort — existing rows never move in an append, so
+    Adam moments and bookkeeping are plain masked selects."""
     cap = state.capacity
     n_active = state.active.sum()
     n_sel = sel.sum()
-    order = jnp.argsort(~sel, stable=True)  # selected rows first, index order
     slot = jnp.arange(cap)
     write = (slot >= n_active) & (slot < jnp.minimum(n_active + n_sel, cap))
-    # rotate the index vector so slot n_active reads selected row 0 — a
-    # dynamic_slice of the doubled order, NOT jnp.roll on the data: a traced
-    # roll of the (C, ...) leaves makes XLA materialize a CxC one-hot
-    # permutation matrix (observed f32[1M,1M] compile failure)
-    shifted_order = jax.lax.dynamic_slice(
-        jnp.concatenate([order, order]), ((cap - n_active) % cap,), (cap,)
-    )
+    src_sorted, _ = _sort_carried((~sel).astype(jnp.int32), new)
+    shift = (cap - n_active) % cap
 
-    def place(dst, src):
-        rolled = jnp.take(src, shifted_order, axis=0)
+    def place(dst, src_s):
+        doubled = jnp.concatenate([src_s, src_s], axis=0)
+        rolled = jax.lax.dynamic_slice(
+            doubled, (shift,) + (0,) * (src_s.ndim - 1), src_s.shape
+        )
         w = write.reshape((-1,) + (1,) * (dst.ndim - 1))
         return jnp.where(w, rolled, dst)
 
@@ -293,7 +329,7 @@ def _append_rows(state: GaussianState, new: GaussianParams, sel: jnp.ndarray) ->
         w = write.reshape((-1,) + (1,) * (dst.ndim - 1))
         return jnp.where(w, jnp.zeros((), dst.dtype), dst)
 
-    params = jax.tree.map(place, state.params, new)
+    params = jax.tree.map(place, state.params, src_sorted)
     zeros_new = jax.tree.map(zero_appended, state.adam_m)
     v_new = jax.tree.map(zero_appended, state.adam_v)
     active = state.active | write
@@ -309,22 +345,26 @@ def _deactivate(state: GaussianState, mask: jnp.ndarray) -> GaussianState:
 
 def compact(state: GaussianState) -> GaussianState:
     """Restore the compacted-prefix invariant: permute active rows to the
-    front (stable argsort of ~active)."""
-    order = jnp.argsort(~state.active, stable=True)
-
-    def perm(x):
-        return x[order]
-
+    front — ONE data-carried stable sort keyed by ~active (every row array
+    rides as a payload operand; see the sort-vs-gather cost note above)."""
+    key = (~state.active).astype(jnp.int32)
+    tree = (
+        state.params, state.adam_m, state.adam_v, state.confidence,
+        state.max_radii2d, state.xyz_gradient_accum, state.denom,
+    )
+    (params, adam_m, adam_v, confidence, max_radii2d, accum, denom), (
+        active,
+    ) = _sort_carried(key, tree, extra_cols=(state.active,))
     return GaussianState(
-        params=jax.tree.map(perm, state.params),
-        adam_m=jax.tree.map(perm, state.adam_m),
-        adam_v=jax.tree.map(perm, state.adam_v),
+        params=params,
+        adam_m=adam_m,
+        adam_v=adam_v,
         step=state.step,
-        active=perm(state.active),
-        confidence=perm(state.confidence),
-        max_radii2d=perm(state.max_radii2d),
-        xyz_gradient_accum=perm(state.xyz_gradient_accum),
-        denom=perm(state.denom),
+        active=active,
+        confidence=confidence,
+        max_radii2d=max_radii2d,
+        xyz_gradient_accum=accum,
+        denom=denom,
     )
 
 
