@@ -1,217 +1,14 @@
-"""Render-video camera paths (spiral / ellipse) + step-function resampling.
+"""Compatibility shim: the spiral/ellipse path + stepfun utilities are
+vendored multinerf code and live in guidedvd3dgs_tpu.vendored
+.multinerf_paths (see that module's attribution docstring)."""
 
-Equivalents of the reference mip-NeRF pose utilities used by render.py
---video (reference: utils/pose_utils.py:5-203 viewmatrix/poses_avg/
-focus_point_fn/recenter_poses/generate_spiral_path/transform_poses_pca/
-generate_ellipse_path; utils/stepfun.py:131-152 integrate_weights_np,
-:164-173 invert_cdf_np, :221-247 sample_np). Host-side numpy.
-"""
-
-from __future__ import annotations
-
-from typing import Sequence, Tuple
-
-import numpy as np
-
-
-# --- stepfun (reference utils/stepfun.py) -----------------------------------
-
-
-def integrate_weights_np(w: np.ndarray) -> np.ndarray:
-    cw = np.minimum(1, np.cumsum(w[..., :-1], axis=-1))
-    shape = cw.shape[:-1] + (1,)
-    return np.concatenate([np.zeros(shape), cw, np.ones(shape)], axis=-1)
-
-
-def invert_cdf_np(u, t, w_logits):
-    w = np.exp(w_logits) / np.exp(w_logits).sum(axis=-1, keepdims=True)
-    cw = integrate_weights_np(w)
-    return np.interp(u, cw, t)
-
-
-def sample_np(rand, t, w_logits, num_samples, single_jitter=False,
-              deterministic_center=False):
-    eps = np.finfo(np.float32).eps
-    if not rand:
-        if deterministic_center:
-            pad = 1 / (2 * num_samples)
-            u = np.linspace(pad, 1.0 - pad - eps, num_samples)
-        else:
-            u = np.linspace(0, 1.0 - eps, num_samples)
-        u = np.broadcast_to(u, t.shape[:-1] + (num_samples,))
-    else:
-        u_max = eps + (1 - eps) / num_samples
-        max_jitter = (1 - u_max) / (num_samples - 1) - eps
-        d = 1 if single_jitter else num_samples
-        u = np.linspace(0, 1 - u_max, num_samples) + np.random.rand(
-            *t.shape[:-1], d
-        ) * max_jitter
-    return invert_cdf_np(u, t, w_logits)
-
-
-# --- pose helpers (reference utils/pose_utils.py) ----------------------------
-
-
-def normalize(x):
-    return x / np.linalg.norm(x)
-
-
-def viewmatrix(lookdir, up, position, subtract_position=False):
-    vec2 = normalize((lookdir - position) if subtract_position else lookdir)
-    vec0 = normalize(np.cross(up, vec2))
-    vec1 = normalize(np.cross(vec2, vec0))
-    return np.stack([vec0, vec1, vec2, position], axis=1)
-
-
-def poses_avg(poses):
-    position = poses[:, :3, 3].mean(0)
-    z_axis = poses[:, :3, 2].mean(0)
-    up = poses[:, :3, 1].mean(0)
-    return viewmatrix(z_axis, up, position)
-
-
-def focus_point_fn(poses):
-    directions, origins = poses[:, :3, 2:3], poses[:, :3, 3:4]
-    m = np.eye(3) - directions * np.transpose(directions, [0, 2, 1])
-    mt_m = np.transpose(m, [0, 2, 1]) @ m
-    return np.linalg.inv(mt_m.mean(0)) @ (mt_m @ origins).mean(0)[:, 0]
-
-
-def pad_poses(p):
-    bottom = np.broadcast_to([0, 0, 0, 1.0], p[..., :1, :4].shape)
-    return np.concatenate([p[..., :3, :4], bottom], axis=-2)
-
-
-def unpad_poses(p):
-    return p[..., :3, :4]
-
-
-def recenter_poses(poses) -> Tuple[np.ndarray, np.ndarray]:
-    cam2world = poses_avg(poses)
-    transform = np.linalg.inv(pad_poses(cam2world))
-    poses = transform @ pad_poses(poses)
-    return unpad_poses(poses), transform
-
-
-def transform_poses_pca(poses):
-    """reference pose_utils.py:103-138."""
-    t = poses[:, :3, 3]
-    t_mean = t.mean(axis=0)
-    t = t - t_mean
-
-    eigval, eigvec = np.linalg.eig(t.T @ t)
-    inds = np.argsort(eigval)[::-1]
-    eigvec = eigvec[:, inds]
-    rot = eigvec.T
-    if np.linalg.det(rot) < 0:
-        rot = np.diag(np.array([1, 1, -1])) @ rot
-
-    transform = np.concatenate([rot, rot @ -t_mean[:, None]], -1)
-    poses_recentered = unpad_poses(transform @ pad_poses(poses))
-    transform = np.concatenate([transform, np.eye(4)[3:]], axis=0)
-
-    if poses_recentered.mean(axis=0)[2, 1] < 0:
-        poses_recentered = np.diag(np.array([1, -1, -1])) @ poses_recentered
-        transform = np.diag(np.array([1, -1, -1, 1])) @ transform
-
-    scale_factor = 1.0 / np.max(np.abs(poses_recentered[:, :3, 3]))
-    poses_recentered[:, :3, 3] *= scale_factor
-    transform = np.diag(np.array([scale_factor] * 3 + [1])) @ transform
-    return np.real(poses_recentered), np.real(transform)
-
-
-def generate_spiral_path(poses_arr, n_frames=180, n_rots=2, zrate=0.5):
-    """reference pose_utils.py:46-91: forward-facing spiral from an LLFF
-    poses_bounds array (N, 17). Returns (n_frames, 4, 4) w2c matrices."""
-    poses = poses_arr[:, :-2].reshape([-1, 3, 5])
-    bounds = poses_arr[:, -2:]
-    fix_rotation = np.array(
-        [[0, -1, 0, 0], [1, 0, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float32
-    )
-    poses = poses[:, :3, :4] @ fix_rotation
-
-    scale = 1.0 / (bounds.min() * 0.75)
-    poses[:, :3, 3] *= scale
-    bounds = bounds * scale
-    poses, transform = recenter_poses(poses)
-
-    close_depth, inf_depth = bounds.min() * 0.9, bounds.max() * 5.0
-    dt = 0.75
-    focal = 1 / ((1 - dt) / close_depth + dt / inf_depth)
-
-    positions = poses[:, :3, 3]
-    radii = np.percentile(np.abs(positions), 90, 0)
-    radii = np.concatenate([radii, [1.0]])
-
-    render_poses = []
-    cam2world = poses_avg(poses)
-    up = poses[:, :3, 1].mean(0)
-    for theta in np.linspace(0.0, 2.0 * np.pi * n_rots, n_frames, endpoint=False):
-        t = radii * [np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0]
-        position = cam2world @ t
-        lookat = cam2world @ [0, 0, -focal, 1.0]
-        z_axis = position - lookat
-        render_pose = np.eye(4)
-        render_pose[:3] = viewmatrix(z_axis, up, position)
-        render_pose = np.linalg.inv(transform) @ render_pose
-        render_pose[:3, 1:3] *= -1
-        render_pose[:3, 3] /= scale
-        render_poses.append(np.linalg.inv(render_pose))
-    return np.stack(render_poses, axis=0)
-
-
-def generate_ellipse_path(views, n_frames=600, const_speed=True,
-                          z_variation=0.0, z_phase=0.0):
-    """reference pose_utils.py:140-203. `views` expose .R and .T (the
-    Camera convention). Returns a list of (4, 4) w2c matrices."""
-    poses = []
-    for view in views:
-        tmp_view = np.eye(4)
-        tmp_view[:3] = np.concatenate([view.R.T, view.T[:, None]], 1)
-        tmp_view = np.linalg.inv(tmp_view)
-        tmp_view[:, 1:3] *= -1
-        poses.append(tmp_view)
-    poses = np.stack(poses, 0)
-    poses, transform = transform_poses_pca(poses)
-
-    center = focus_point_fn(poses)
-    offset = np.array([center[0], center[1], 0])
-    sc = np.percentile(np.abs(poses[:, :3, 3] - offset), 90, axis=0)
-    low = -sc + offset
-    high = sc + offset
-    z_low = np.percentile(poses[:, :3, 3], 10, axis=0)
-    z_high = np.percentile(poses[:, :3, 3], 90, axis=0)
-
-    def get_positions(theta):
-        return np.stack(
-            [
-                low[0] + (high - low)[0] * (np.cos(theta) * 0.5 + 0.5),
-                low[1] + (high - low)[1] * (np.sin(theta) * 0.5 + 0.5),
-                z_variation
-                * (z_low[2] + (z_high - z_low)[2] * (np.cos(theta + 2 * np.pi * z_phase) * 0.5 + 0.5)),
-            ],
-            -1,
-        )
-
-    theta = np.linspace(0, 2.0 * np.pi, n_frames + 1, endpoint=True)
-    positions = get_positions(theta)
-
-    if const_speed:
-        lengths = np.linalg.norm(positions[1:] - positions[:-1], axis=-1)
-        theta = sample_np(None, theta, np.log(lengths), n_frames + 1)
-        positions = get_positions(theta)
-    positions = positions[:-1]
-
-    avg_up = poses[:, :3, 1].mean(0)
-    avg_up = avg_up / np.linalg.norm(avg_up)
-    ind_up = np.argmax(np.abs(avg_up))
-    up = np.eye(3)[ind_up] * np.sign(avg_up[ind_up])
-
-    render_poses = []
-    for p in positions:
-        render_pose = np.eye(4)
-        render_pose[:3] = viewmatrix(p - center, up, p)
-        render_pose = np.linalg.inv(transform) @ render_pose
-        render_pose[:3, 1:3] *= -1
-        render_poses.append(np.linalg.inv(render_pose))
-    return render_poses
+from guidedvd3dgs_tpu.vendored.multinerf_paths import *  # noqa: F401,F403
+from guidedvd3dgs_tpu.vendored.multinerf_paths import (  # noqa: F401
+    generate_ellipse_path,
+    generate_spiral_path,
+    integrate_weights_np,
+    invert_cdf_np,
+    normalize,
+    sample_np,
+    viewmatrix,
+)
