@@ -261,10 +261,17 @@ def update_max_radii(
 # ----------------------------------------------------------------------------
 
 
+_SORT_GROUP = 12  # payload columns per lax.sort call
+
+
 def _sort_carried(key: jnp.ndarray, tree, extra_cols=()):
     """Stable-sort every (C, ...) leaf of `tree` (plus any extra (C,)
     columns) by the int32 `key`: each leaf is split into (C,) columns that
-    ride the ONE lax.sort as payload operands, then reassembled. Returns
+    ride lax.sort as payload operands, then reassembled. The columns are
+    sorted in groups of <= _SORT_GROUP per call — a single 60-operand sort
+    wedged the remote TPU compiler for 15+ minutes, while <= 13-operand
+    sorts compile in seconds; every group sorts by the SAME key array with
+    is_stable, so all groups realize the identical permutation. Returns
     (sorted_tree, sorted_extras)."""
     leaves, treedef = jax.tree.flatten(tree)
     ops = []
@@ -276,7 +283,12 @@ def _sort_carried(key: jnp.ndarray, tree, extra_cols=()):
     n_tree_ops = len(ops)
     for col in extra_cols:
         ops.append(col.astype(jnp.int32) if col.dtype == jnp.bool_ else col)
-    sorted_all = jax.lax.sort((key, *ops), num_keys=1, is_stable=True)[1:]
+    sorted_all = []
+    for s in range(0, len(ops), _SORT_GROUP):
+        group = ops[s : s + _SORT_GROUP]
+        sorted_all.extend(
+            jax.lax.sort((key, *group), num_keys=1, is_stable=True)[1:]
+        )
     out_leaves = []
     i = 0
     for lf in leaves:
