@@ -144,12 +144,22 @@ def _pass_top3(points, mask, orig_idx, shift):
             & (cpos[:, None, :] != xp[:, :, None])
         )
         d2 = jnp.where(live, jnp.maximum(d2, 0.0), jnp.inf)
-        neg, ti = jax.lax.top_k(-d2, 3)  # (GB, B, 3)
-        npos = jnp.take_along_axis(
-            jnp.broadcast_to(cpos[:, None, :], d2.shape[:2] + cpos.shape[-1:]),
-            ti, axis=-1,
-        )
-        return -neg, npos
+        # top-3 via iterative min extraction: lax.top_k sorts the whole 3B
+        # candidate axis per point (the dominant cost of the old pass);
+        # three min/max sweeps over (GB, B, 3B) are plain VPU reductions —
+        # no sort, no gather. Ties on distance are broken by max candidate
+        # position (positions are unique per row, so exactly one candidate
+        # is masked per extraction and equal-distance neighbors survive).
+        cpos_b = jnp.broadcast_to(cpos[:, None, :], d2.shape)
+        outs_d, outs_p = [], []
+        for _ in range(3):
+            dv = jnp.min(d2, axis=-1)  # (GB, B)
+            at_min = d2 <= dv[..., None]
+            pv = jnp.max(jnp.where(at_min, cpos_b, -(2**31) + 1), axis=-1)
+            outs_d.append(dv)
+            outs_p.append(pv)
+            d2 = jnp.where(cpos_b == pv[..., None], jnp.inf, d2)
+        return jnp.stack(outs_d, -1), jnp.stack(outs_p, -1)
 
     d2g, posg = jax.lax.map(group, jnp.arange(nbg, dtype=jnp.int32))
     d2s = d2g.reshape(nbg * GB * B, 3)[: n, :]  # sorted order
