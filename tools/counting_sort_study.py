@@ -55,6 +55,21 @@ NUM_TILES = 560  # 320x448 at 16px tiles
 DEPTH_BITS = 21
 
 
+_LATENCY_MS = [0.0]
+
+
+def _calibrate_latency():
+    f = jax.jit(lambda v: v.sum() + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    np.asarray(f(x))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        best = min(best, (time.perf_counter() - t0) * 1000.0)
+    _LATENCY_MS[0] = best
+
+
 def timed(name, fn, *args, reps=4, out=None):
     f = jax.jit(fn)
     r = f(*args)
@@ -65,7 +80,9 @@ def timed(name, fn, *args, reps=4, out=None):
         r = f(*args)
         np.asarray(jax.tree.leaves(r)[0].ravel()[:1])
         best = min(best, time.perf_counter() - t0)
-    ms = best * 1000.0
+    # one dispatch+readback through the axon tunnel costs ~25-30 ms; report
+    # device time like bench.py does
+    ms = max(best * 1000.0 - _LATENCY_MS[0], 0.0)
     print(f"{name:22s} {ms:8.2f} ms", flush=True)
     if out is not None:
         out[name] = round(ms, 2)
@@ -73,7 +90,9 @@ def timed(name, fn, *args, reps=4, out=None):
 
 
 def main():
-    out = {"m": M, "num_tiles": NUM_TILES}
+    _calibrate_latency()
+    out = {"m": M, "num_tiles": NUM_TILES,
+           "dispatch_latency_ms": round(_LATENCY_MS[0], 2)}
     rng = np.random.default_rng(0)
     # realistic expand-order stream: instances grouped per gaussian, each
     # gaussian covering a small contiguous tile rect (tile ids step by ~1
