@@ -301,28 +301,40 @@ def _append_rows(state: GaussianState, new: GaussianParams, sel: jnp.ndarray) ->
     reference's cat-then-truncate).
 
     TPU note: deliberately scatter-free AND gather-free (see the section
-    comment above): the selected rows of `new` are front-compacted by ONE
-    data-carried stable sort (~45 ms at 1M rows vs ~5 s of scatters), each
-    sorted column is rotated into the free-slot window with a dynamic_slice
-    of its doubled self (a traced jnp.roll on (C, ...) data makes XLA
-    materialize a CxC one-hot permutation matrix), and a select merges.
-    Only `new` rides the sort — existing rows never move in an append, so
-    Adam moments and bookkeeping are plain masked selects."""
+    comment above). The placement is ONE data-carried sort of `new` keyed
+    by each row's DESTINATION RANK: the r-th selected row (index order)
+    gets key n_active + r, and unselected rows get the remaining ranks in
+    index order — a bijection onto [0, cap) built from two cumsums, so the
+    sort directly deposits selected rows into the free-slot window. (No
+    roll/dynamic_slice step: a traced roll of (C, ...) data makes XLA
+    materialize a CxC one-hot matrix, and a traced multi-dim dynamic_slice
+    lowers to a serial per-row copy measured at ~50 s per append.) Existing
+    rows never move in an append, so Adam moments and bookkeeping are plain
+    masked selects."""
     cap = state.capacity
     n_active = state.active.sum()
     n_sel = sel.sum()
     slot = jnp.arange(cap)
     write = (slot >= n_active) & (slot < jnp.minimum(n_active + n_sel, cap))
-    src_sorted, _ = _sort_carried((~sel).astype(jnp.int32), new)
-    shift = (cap - n_active) % cap
+    # destination-position bijection onto [0, cap): the r-th selected row
+    # (index order, r < free capacity) goes to window slot n_active + r;
+    # every other row (unselected + capacity-overflow selected) fills the
+    # remaining positions in index order. Exact cover of [0, cap) keeps
+    # sorted-position == key for the window rows under any overflow.
+    n_eff = jnp.minimum(n_sel, cap - n_active)
+    s_rank = jnp.cumsum(sel) - 1  # rank among selected (valid where sel)
+    placed = sel & (s_rank < n_eff)
+    o_rank = jnp.cumsum(~placed) - 1  # rank among the others
+    dest = jnp.where(
+        placed,
+        n_active + s_rank,
+        jnp.where(o_rank < n_active, o_rank, o_rank + n_eff),
+    ).astype(jnp.int32)
+    src_sorted, _ = _sort_carried(dest, new)
 
     def place(dst, src_s):
-        doubled = jnp.concatenate([src_s, src_s], axis=0)
-        rolled = jax.lax.dynamic_slice(
-            doubled, (shift,) + (0,) * (src_s.ndim - 1), src_s.shape
-        )
         w = write.reshape((-1,) + (1,) * (dst.ndim - 1))
-        return jnp.where(w, rolled, dst)
+        return jnp.where(w, src_s, dst)
 
     def zero_appended(dst):
         w = write.reshape((-1,) + (1,) * (dst.ndim - 1))
