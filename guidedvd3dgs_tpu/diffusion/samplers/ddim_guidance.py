@@ -69,6 +69,9 @@ class GuidedSampleConfig(NamedTuple):
     #       block boundaries, which persist from fwd to bwd.
     #   "batched": ONE UNet application at batch 2 (cond ++ uncond), no
     #       outer checkpoint. Best MXU utilization, highest transient HBM.
+    #   "batched_ckpt": batch-2 application under jax.checkpoint — ONE
+    #       recomputed forward serves both branches' backward (vs one per
+    #       branch in serial_ckpt) and the batch feeds the MXU better.
     pair_mode: str = "serial_ckpt"
     # Frames per batched VAE-decode guidance gradient (1 = the reference's
     # per-frame loop, loss_guidance_batch=1 fallback ddim_guidance.py:299-327)
@@ -141,17 +144,21 @@ def _guided_step(
     #     transient working set).
     # Cost: one extra UNet fwd per branch in the backward — the deliberate
     # FLOPs-for-HBM trade.
-    if scfg.pair_mode == "batched":
+    batched = scfg.pair_mode in ("batched", "batched_ckpt")
+    if batched:
         # cond ++ uncond as one batch-2 UNet application
         cu = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), cond, uncond)
     else:
         cu = jax.tree.map(lambda a, b: jnp.stack([a, b]), cond, uncond)
 
     def pred_x0_of_x(xv):
-        if scfg.pair_mode == "batched":
+        if batched:
             xb = jnp.concatenate([xv, xv], axis=0)
             tb = jnp.concatenate([t, t], axis=0)
-            vs = apply_model(params, mcfg, xb, tb, cu)
+            app = lambda x_: apply_model(params, mcfg, x_, tb, cu)
+            if scfg.pair_mode == "batched_ckpt":
+                app = jax.checkpoint(app)
+            vs = app(xb)
             v_cond, v_uncond = vs[0:1], vs[1:2]
         else:
             app = lambda c_: apply_model(params, mcfg, xv, t, c_)

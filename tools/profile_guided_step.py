@@ -106,18 +106,24 @@ def main():
     pr = make_ddim_params(sched, scfg.ddim_steps, eta=scfg.ddim_eta,
                           method=scfg.timestep_spacing)
 
+    mcfg_noblock = dataclasses.replace(
+        mcfg, unet=dataclasses.replace(mcfg.unet, remat=False)
+    )
+
     for spec in args.variants.split(","):
-        mode, ck = spec.split(":")
-        ck = int(ck)
-        name = f"{mode}:{ck}"
+        parts = spec.split(":")
+        mode, ck = parts[0], int(parts[1])
+        noblock = len(parts) > 2 and parts[2] == "noblock"
+        name = f"{mode}:{ck}" + (":noblock" if noblock else "")
+        vcfg = mcfg_noblock if noblock else mcfg
         gcfg = GuidedSampleConfig(
             cfg_scale=scfg.cfg_scale, guidance_rescale=scfg.guidance_rescale,
             pair_mode=mode, decode_chunk=ck,
         )
 
-        def step(p, c, u, bufs, xv, i, key):
+        def step(p, c, u, bufs, xv, i, key, vcfg=vcfg, gcfg=gcfg):
             gf = make_guidance_fn(bufs)
-            return _guided_step(p, mcfg, sched, pr, c, u, gcfg, gf,
+            return _guided_step(p, vcfg, sched, pr, c, u, gcfg, gf,
                                 jnp.float32(1.0), xv, i, key)
 
         row = {}
