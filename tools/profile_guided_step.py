@@ -153,7 +153,7 @@ def main():
                 row["skipped"] = f"peak_est > {args.exec_limit_gb} GB"
                 print(f"{name:16s} SKIPPED ({row['skipped']})", flush=True)
         except Exception as e:
-            row["error"] = repr(e)[:500]
+            row["error"] = repr(e)[:2500]
             print(f"{name:16s} ERROR {row['error']}", flush=True)
         out["variants"][name] = row
         write()
@@ -203,7 +203,7 @@ def main():
                            "compile_s": round(t1 - t0, 1)}
                 print(f"{nm:22s} {dec[nm]}", flush=True)
             except Exception as e:
-                dec[nm] = {"error": repr(e)[:500]}
+                dec[nm] = {"error": repr(e)[:2500]}
                 print(f"{nm:22s} ERROR {dec[nm]['error']}", flush=True)
             out["decompose"] = dec
             write()
