@@ -148,11 +148,31 @@ def set_fused_attention(flag: bool) -> None:
     _FUSED_ATTENTION[0] = flag
 
 
+def _flash_block_sizes(n_pad: int):
+    """Largest uniform block <= 768 dividing the padded sequence, applied to
+    every fwd/bwd block knob. The kernel's get_default() is 128 everywhere,
+    which shreds the grid into thousands of (128, 64) @ (64, 128) matmuls:
+    at the UNet's base level (B25 H5 N2240 D64, padded 2304) the default
+    measures 21.6 ms fwd / 42.6 ms fwd+vjp vs 3.7 / 9.4 at 768-blocks
+    (ATTN_BLOCK_SWEEP.json, v5e)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    for blk in (768, 512, 384, 256, 128):
+        if n_pad % blk == 0:
+            return BlockSizes(
+                block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+                block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+                block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+                block_q_dq=blk,
+            )
+    return None  # unreachable: n_pad is a multiple of 128
+
+
 def _flash_attention_padded(q, k, v, scale: float) -> jnp.ndarray:
     """Self-attention via the Pallas TPU flash kernel, zero-padding the
-    sequence to the kernel's 128-token block granularity. Pad KV tokens are
-    excluded with segment ids (pad queries attend only among themselves and
-    are sliced off)."""
+    sequence to the kernel's block granularity. Pad KV tokens are excluded
+    with segment ids (pad queries attend only among themselves and are
+    sliced off)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds, flash_attention,
     )
@@ -169,7 +189,10 @@ def _flash_attention_padded(q, k, v, scale: float) -> jnp.ndarray:
         segment_ids = SegmentIds(q=seg, kv=seg)
     else:
         segment_ids = None
-    out = flash_attention(q, k, v, segment_ids=segment_ids, sm_scale=scale)
+    out = flash_attention(
+        q, k, v, segment_ids=segment_ids, sm_scale=scale,
+        block_sizes=_flash_block_sizes(n_pad),
+    )
     return out[:, :, :n, :]
 
 

@@ -40,7 +40,7 @@ def test_padded_wrapper_matches_einsum_via_reference(monkeypatch):
     q, k, v = _make_qkv()
     scale = 0.125
 
-    def fake_kernel(q, k, v, segment_ids=None, sm_scale=1.0):
+    def fake_kernel(q, k, v, segment_ids=None, sm_scale=1.0, block_sizes=None):
         return fa.mha_reference(q, k, v, None, segment_ids, sm_scale=sm_scale)
 
     import jax.experimental.pallas.ops.tpu.flash_attention as fmod
