@@ -157,15 +157,16 @@ def _flash_block_sizes(n_pad: int):
     (ATTN_BLOCK_SWEEP.json, v5e)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
-    for blk in (768, 512, 384, 256, 128):
-        if n_pad % blk == 0:
-            return BlockSizes(
-                block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
-                block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
-                block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
-                block_q_dq=blk,
-            )
-    return None  # unreachable: n_pad is a multiple of 128
+    blk = 128
+    for cand in range(128, 1025, 128):  # largest <=1024 divisor, mult of 128
+        if n_pad % cand == 0:
+            blk = cand
+    return BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+        block_q_dq=blk,
+    )
 
 
 def _flash_attention_padded(q, k, v, scale: float) -> jnp.ndarray:
