@@ -108,8 +108,12 @@ def decode_frame(
     params: DiffusionParams, cfg: LatentDiffusionConfig, z: jnp.ndarray
 ) -> jnp.ndarray:
     """Single-frame differentiable VAE decode (reference ddpm3d.py:669-675).
-    z: (h, w, 4) -> (H, W, 3)."""
-    return vae_decode(params.vae, cfg.vae, z[None])[0]
+    z: (h, w, 4) -> (H, W, 3). Runs in cfg.compute_dtype (the reference
+    decodes under CUDA fp16 autocast) and returns at the input dtype: the
+    f32 decode measured 17.2 ms/frame on v5e — 2x the bf16 MXU rate — and
+    the guidance path pays it 25x per guided DDIM step."""
+    cd = jnp.dtype(cfg.compute_dtype)
+    return vae_decode(params.vae, cfg.vae, z[None].astype(cd))[0].astype(z.dtype)
 
 
 def decode_video_frames(
