@@ -252,40 +252,43 @@ def update_max_radii(
 # ----------------------------------------------------------------------------
 # append / prune machinery (fixed capacity, sort-carried permutations)
 #
-# TPU primitive costs at C ~ 1M rows (tools/profile_prims.py + round-4
-# measurements): XLA row scatter ~1.8 ms/MB, row gather 0.6-1000 ms/MB
-# depending on leaf shape (skinny (C,3) gathers degrade to ~1 us/element),
-# while k-operand lax.sort streams at ~0.6 ms per payload operand. So every
-# row permutation here RIDES A STABLE SORT as payload columns — never a
-# gather, never a scatter.
+# TPU primitive costs at C ~ 1-2M rows (tools/profile_prims.py,
+# COUNTING_SORT_STUDY.json): XLA row scatter ~1.8 ms/MB; row gather is
+# SHAPE-DEPENDENT — skinny per-leaf gathers ((C,3) etc.) degrade to ~1 us
+# per element, but ONE wide row gather streams (apply_gather_rows: 8.3 ms
+# for 2.2M rows); a 2-operand lax.sort is ~3.4 ms. Dragging the payload
+# through the sort itself (either k-operand or a batched (K, C) minor-dim
+# sort) is the trap: the TPU sort is a bitonic network of ~log^2(C) passes
+# and every payload row rides EVERY pass — measured 48.8 s for one append
+# at C = 2^20 with ~60 payload rows (DENSIFY_PROFILE.json, pre-fix). So
+# permutations here are applied as: stable argsort of (key, iota) — 2
+# operands, payload-free — then ONE wide row gather of all columns packed
+# into a single (C, K) f32 matrix.
 # ----------------------------------------------------------------------------
 
 
 def _sort_carried(key: jnp.ndarray, tree, extra_cols=()):
     """Stable-sort every (C, ...) leaf of `tree` (plus any extra (C,)
-    columns) by the int32 `key` — as ONE batched 2-operand lax.sort: all
-    columns stack into a (K, C) f32 matrix sorted along the minor dim with
-    the key row-broadcast, so every lane applies the identical stable
-    permutation. Why this shape: a k-operand sort costs ~1 ms/operand at 1M
-    rows but ~125 s of REMOTE COMPILE PER SORT (a 60-operand one wedges the
-    compiler outright), while the (K, C) batched form compiles in ~12 s
-    flat at any K and runs ~2.5 ms per row (measured K=12/64/184). bool
-    columns ride as exact 0.0/1.0; only f32/bool leaves are supported.
-    Returns (sorted_tree, sorted_extras)."""
+    columns) by the int32 `key`: a payload-free stable argsort of (key,
+    iota) produces the permutation, which is applied as ONE row gather of
+    the (C, Ktot) f32 matrix holding every column (wide gathers stream;
+    see the cost note above). bool columns ride as exact 0.0/1.0; only
+    f32/bool leaves are supported. Returns (sorted_tree, sorted_extras)."""
     leaves, treedef = jax.tree.flatten(tree)
     C = key.shape[0]
-    rows = []
+    idx = jnp.arange(C, dtype=jnp.int32)
+    _, perm = jax.lax.sort((key, idx), dimension=0, num_keys=1, is_stable=True)
+    cols = []
     for lf in list(leaves) + list(extra_cols):
         assert lf.dtype in (jnp.float32, jnp.bool_), lf.dtype
-        rows.append(lf.reshape(C, -1).T.astype(jnp.float32))
-    mat = jnp.concatenate(rows, axis=0)  # (Ktot, C)
-    keyb = jnp.broadcast_to(key[None, :], mat.shape)
-    _, smat = jax.lax.sort((keyb, mat), dimension=1, num_keys=1, is_stable=True)
+        cols.append(lf.reshape(C, -1).astype(jnp.float32))
+    mat = jnp.concatenate(cols, axis=1)  # (C, Ktot)
+    smat = jnp.take(mat, perm, axis=0, unique_indices=True)
     outs = []
     i = 0
     for lf in list(leaves) + list(extra_cols):
         k = int(np.prod(lf.shape[1:])) if lf.ndim > 1 else 1
-        piece = smat[i : i + k].T.reshape(lf.shape)
+        piece = smat[:, i : i + k].reshape(lf.shape)
         i += k
         outs.append(piece.astype(lf.dtype) if lf.dtype == jnp.bool_ else piece)
     n = len(leaves)

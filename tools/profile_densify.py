@@ -27,8 +27,10 @@ N = int(os.environ.get("GVD_DENSIFY_N", str(1 << 20)))
 
 
 def force(x):
-    for leaf in jax.tree.leaves(x):
-        np.asarray(leaf)
+    # block on completion WITHOUT device->host transfer: pulling the full
+    # 1M-row state over the tunneled TPU link costs tens of seconds and was
+    # inflating every densify timing (the r3 "38 s densify" artifact).
+    jax.block_until_ready(x)
 
 
 def timed(name, fn, *args, out=None, reps=2):

@@ -34,10 +34,11 @@ SUB = 4096
 
 
 def force(x):
-    leaves = jax.tree.leaves(x)
-    for leaf in leaves:
-        np.asarray(leaf)
-    return leaves
+    # block on completion WITHOUT device->host transfer: pulling the full
+    # 1M-row state over the tunneled TPU link costs tens of seconds and was
+    # inflating every densify timing (the r3 "38 s densify" artifact).
+    jax.block_until_ready(x)
+    return jax.tree.leaves(x)
 
 
 def main():
