@@ -160,6 +160,20 @@ def _guided_step(
                 app = jax.checkpoint(app)
             vs = app(xb)
             v_cond, v_uncond = vs[0:1], vs[1:2]
+        elif scfg.pair_mode == "serial_ckpt_half":
+            # asymmetric checkpointing: the cond branch keeps its
+            # block-boundary residuals (~1.5 GB under block remat) so its
+            # backward needs NO recompute; only the uncond branch pays the
+            # recompute. An optimization_barrier threads a data dependency
+            # cond -> uncond so XLA cannot overlap the two forwards (or,
+            # reversed, the two backwards) and spike the transient peak the
+            # way the overlapped `serial`/`batched` variants do.
+            v_cond = apply_model(params, mcfg, xv, t, jax.tree.map(lambda a: a[0], cu))
+            v_cond, xv2 = jax.lax.optimization_barrier((v_cond, xv))
+            app_u = jax.checkpoint(
+                lambda x_: apply_model(params, mcfg, x_, t, jax.tree.map(lambda a: a[1], cu))
+            )
+            v_uncond = app_u(xv2)
         else:
             app = lambda c_: apply_model(params, mcfg, xv, t, c_)
             if scfg.pair_mode == "serial_ckpt":

@@ -284,7 +284,8 @@ def test_guided_step_pair_modes_equivalent(tiny):
         return np.asarray(x_prev), np.asarray(px0)
 
     ref_x, ref_p = run("serial_ckpt", 1)
-    for mode, ck in [("serial", 1), ("batched", 1), ("batched_ckpt", 1), ("serial_ckpt", 2)]:
+    for mode, ck in [("serial", 1), ("batched", 1), ("batched_ckpt", 1),
+                     ("serial_ckpt_half", 1), ("serial_ckpt", 2)]:
         got_x, got_p = run(mode, ck)
         np.testing.assert_allclose(got_x, ref_x, rtol=0, atol=1e-5,
                                    err_msg=f"{mode}/ck={ck}")
