@@ -27,10 +27,13 @@ N = int(os.environ.get("GVD_DENSIFY_N", str(1 << 20)))
 
 
 def force(x):
-    # block on completion WITHOUT device->host transfer: pulling the full
-    # 1M-row state over the tunneled TPU link costs tens of seconds and was
-    # inflating every densify timing (the r3 "38 s densify" artifact).
-    jax.block_until_ready(x)
+    # sync WITHOUT bulk transfer: pull ONE scalar of the first leaf (a
+    # plain block_until_ready measured 0.1 ms for a 1.3 s knn on the
+    # tunneled axon platform — it does not reliably block there), while
+    # np.asarray of the full 1M-row state costs tens of seconds of tunnel
+    # transfer (that inflation was inside the r3 "38 s densify" artifact).
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf.ravel()[:1])
 
 
 def timed(name, fn, *args, out=None, reps=2):

@@ -34,10 +34,13 @@ SUB = 4096
 
 
 def force(x):
-    # block on completion WITHOUT device->host transfer: pulling the full
-    # 1M-row state over the tunneled TPU link costs tens of seconds and was
-    # inflating every densify timing (the r3 "38 s densify" artifact).
-    jax.block_until_ready(x)
+    # sync WITHOUT bulk transfer: pull ONE scalar of the first leaf (a
+    # plain block_until_ready measured 0.1 ms for a 1.3 s knn on the
+    # tunneled axon platform — it does not reliably block there), while
+    # np.asarray of the full 1M-row state costs tens of seconds of tunnel
+    # transfer (that inflation was inside the r3 "38 s densify" artifact).
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf.ravel()[:1])
     return jax.tree.leaves(x)
 
 
@@ -57,9 +60,11 @@ def main():
     force(d)
     out["knn1m_compile_s"] = round(time.time() - t0, 1)
     t0 = time.time()
-    for _ in range(3):
-        d, idx = f(pts)
-        force(d)
+    for i in range(3):
+        # perturb per rep: identical (executable, args) repeats measured
+        # 0.1 ms on the tunneled platform (result served without re-exec)
+        d2_, _ = f(pts + np.float32(1e-6 * (i + 1)))
+        force(d2_)
     out["knn1m_run_ms"] = round((time.time() - t0) / 3 * 1000.0, 1)
 
     # exact 3NN for a query subsample, blocked brute force on host
