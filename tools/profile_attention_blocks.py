@@ -34,7 +34,9 @@ from jax.experimental.pallas.ops.tpu.flash_attention import (
 )
 
 B, H, N, D = 25, 5, 2240, 64
-NPAD = 2304
+if len(sys.argv) == 5:  # optional: B H N D (e.g. 25 10 560 64 = UNet level 1)
+    B, H, N, D = (int(a) for a in sys.argv[1:5])
+NPAD = -(-N // 128) * 128
 ITERS = 8
 DISPATCH_MS = 24.0
 
@@ -121,6 +123,27 @@ def main():
     timed(
         "flash_default128_seg",
         scan_wrap(lambda q, k, v, c: flash_padded(q + c, k, v, scale)),
+        (q, k, v),
+        out,
+    )
+    from guidedvd3dgs_tpu.diffusion.nnops import _flash_block_sizes
+
+    auto = _flash_block_sizes(NPAD)
+    timed(
+        f"flash_auto_q{auto.block_q}_seg",
+        scan_wrap(lambda q, k, v, c: flash_padded(q + c, k, v, scale, auto)),
+        (q, k, v),
+        out,
+    )
+    timed(
+        "flash_auto_seg_vjp",
+        scan_wrap(
+            (lambda f: lambda q, k, v, c: f(q, k, v, c))(
+                lambda q, k, v, c: jax.vjp(
+                    lambda a: flash_padded(a, k, v, scale, auto), q + c
+                )[1](jnp.ones((B, H, N, D), q.dtype))[0]
+            )
+        ),
         (q, k, v),
         out,
     )
