@@ -147,6 +147,19 @@ def main():
         (q, k, v),
         out,
     )
+    for bq, bkm, bk in ((1152, 1152, 1152), (768, 2304, 768), (1152, 2304, 1152),
+                        (768, 2304, 2304)):
+        timed(
+            f"flash_q{bq}_km{bkm}_k{bk}_seg",
+            scan_wrap(lambda q, k, v, c, bs=BlockSizes(
+                block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bkm, block_k_dkv=bk,
+                block_q_dkv=bq, block_k_major_dq=bkm, block_k_dq=bk,
+                block_q_dq=bq,
+            ): flash_padded(q + c, k, v, scale, bs)),
+            (q, k, v),
+            out,
+        )
     for bq, bk in ((256, 256), (384, 384), (768, 768), (768, 384), (2304, 2304)):
         timed(
             f"flash_q{bq}_k{bk}_seg",
