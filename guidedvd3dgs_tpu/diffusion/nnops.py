@@ -158,7 +158,10 @@ def _flash_block_sizes(n_pad: int):
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
     blk = 128
-    for cand in range(128, 1025, 128):  # largest <=1024 divisor, mult of 128
+    # Cap at 768: the sweep validated 768 (and 1152 via a larger-pad probe);
+    # 1024-blocks were never measured, so sequences they would divide take
+    # the largest measured configuration instead (ADVICE r4).
+    for cand in range(128, 769, 128):  # largest <=768 divisor, mult of 128
         if n_pad % cand == 0:
             blk = cand
     return BlockSizes(

@@ -132,6 +132,13 @@ def _guided_step(
     t = jnp.broadcast_to(pr.timesteps[index], (b,))
     rescale = pr.scale_arr_prev[index] / pr.scale_arr[index]
 
+    known_modes = ("serial", "serial_ckpt", "serial_ckpt_half", "batched", "batched_ckpt")
+    if scfg.pair_mode not in known_modes:
+        # A typo'd mode must not silently fall through to the un-checkpointed
+        # 'serial' branch — that would drop the serial_ckpt HBM protection
+        # the default exists to provide (ADVICE r4).
+        raise ValueError(f"unknown pair_mode {scfg.pair_mode!r}; expected one of {known_modes}")
+
     # HBM discipline for the vjp through the CFG pair (the production shape
     # 25x40x56 / model_channels 320 must fit a 16 GB v5e where the reference
     # uses a 32 GB V100):
@@ -159,7 +166,9 @@ def _guided_step(
             if scfg.pair_mode == "batched_ckpt":
                 app = jax.checkpoint(app)
             vs = app(xb)
-            v_cond, v_uncond = vs[0:1], vs[1:2]
+            # cond occupies the first b batch rows, uncond the last b —
+            # slice with the actual batch size (b>1 safe, ADVICE r4).
+            v_cond, v_uncond = vs[:b], vs[b:]
         elif scfg.pair_mode == "serial_ckpt_half":
             # asymmetric checkpointing: the cond branch keeps its
             # block-boundary residuals (~1.5 GB under block remat) so its

@@ -148,8 +148,13 @@ def _pass_top3(points, mask, orig_idx, shift):
         # candidate axis per point (the dominant cost of the old pass);
         # three min/max sweeps over (GB, B, 3B) are plain VPU reductions —
         # no sort, no gather. Ties on distance are broken by max candidate
-        # position (positions are unique per row, so exactly one candidate
-        # is masked per extraction and equal-distance neighbors survive).
+        # position: LIVE candidates have unique positions per row, so each
+        # extraction masks exactly one and equal-distance neighbors survive.
+        # Dead/padded candidates all share cpos = -1 and distance inf, so
+        # once only dead candidates remain (dv = inf) the tie-break can emit
+        # duplicate already-extracted positions — benign ONLY because the
+        # downstream merge filters on isfinite(d_sel); that filter is a
+        # correctness dependency, not an optimization.
         cpos_b = jnp.broadcast_to(cpos[:, None, :], d2.shape)
         outs_d, outs_p = [], []
         for _ in range(3):

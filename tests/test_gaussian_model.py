@@ -176,7 +176,8 @@ def test_add_points_and_grow_capacity():
 def test_append_rows_drops_overflow_in_index_order():
     """At capacity, _append_rows must keep the earliest selected rows (stable
     index order, the reference's cat-then-truncate) and leave existing rows
-    untouched — exercises the scatter-free roll-wrap drop path."""
+    untouched — exercises the sort-carried destination-rank bijection drop
+    path (payload-free argsort + wide row gather, gaussians._sort_carried)."""
     st = make_state(n=60, cap=64)
     sel = np.zeros(64, bool)
     sel[[3, 10, 20, 30, 40, 50]] = True  # 6 selected, only 4 free slots

@@ -25,6 +25,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.artifact_io import write_artifact
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
@@ -146,10 +148,8 @@ def main():
         and report["color_mean_abs"] <= 1e-3
         and all(v <= 0.02 for v in report["grad_rel_l2"].values())
     )
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "MULTI_PARITY.json"), "w") as f:
-        json.dump(report, f, indent=1)
-        f.write("\n")
+    write_artifact(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "MULTI_PARITY.json"), report)
     print(json.dumps(report, indent=1))
     if not report["pass"]:
         sys.exit(1)

@@ -25,6 +25,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.artifact_io import write_artifact
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
@@ -81,12 +83,9 @@ def main():
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "DIFFUSION_SMOKE.json",
         )
-        with open(path, "w") as f:
-            json.dump(
-                {"params_m": round(tot / 1e6), "mem": mem_stats(),
-                 "shape": [T, H, W], "steps": args.steps,
-                 "timings": timings}, f, indent=1)
-            f.write("\n")
+        write_artifact(path, {"params_m": round(tot / 1e6), "mem": mem_stats(),
+                              "shape": [T, H, W], "steps": args.steps,
+                              "timings": timings})
     mcfg = LatentDiffusionConfig(compute_dtype="bfloat16")
     mcfg = dataclasses.replace(
         mcfg,

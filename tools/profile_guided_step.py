@@ -23,6 +23,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.artifact_io import write_artifact
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
@@ -83,9 +85,7 @@ def main():
     out = {"shape": [T, H, W], "variants": {}}
 
     def write():
-        with open(OUT_PATH, "w") as f:
-            json.dump(out, f, indent=1)
-            f.write("\n")
+        write_artifact(OUT_PATH, out)
 
     print("initializing params (host) ...", flush=True)
     params = init_diffusion_params(mcfg, scfg, jax.random.key(0))

@@ -17,6 +17,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.artifact_io import write_artifact
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
@@ -138,9 +140,7 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "TEMPORAL_ATTN_SWEEP.json",
     )
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-        f.write("\n")
+    write_artifact(path, out)
     print("wrote", path, flush=True)
 
 

@@ -22,6 +22,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.artifact_io import write_artifact
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
@@ -235,9 +237,7 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "UNET_L0_PROFILE.json",
     )
-    with open(path, "w") as f:
-        json.dump(results, f, indent=1)
-        f.write("\n")
+    write_artifact(path, results)
     print("wrote", path, flush=True)
 
 

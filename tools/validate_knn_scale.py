@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.artifact_io import write_artifact
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
@@ -132,9 +134,7 @@ def main():
 
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "KNN_SCALE.json")
-    with open(path, "w") as fjson:
-        json.dump(out, fjson, indent=1)
-        fjson.write("\n")
+    write_artifact(path, out)
     print(json.dumps(out))
 
 
