@@ -16,6 +16,7 @@ GroupNorm32 run in f32), lvdm/models/utils_diffusion.py:8-28
 from __future__ import annotations
 
 import math
+import os as _os
 from typing import Optional
 
 import jax
@@ -200,6 +201,58 @@ def _flash_attention_padded(q, k, v, scale: float) -> jnp.ndarray:
     return out[:, :, :n, :]
 
 
+# Group size for the block-diagonal small-sequence attention: G sequences
+# ride ONE (G*N, D) @ (D, G*N) MXU matmul with off-diagonal blocks masked
+# to -inf before the softmax (rows then only see their own sequence, so the
+# full-row softmax IS the per-sequence softmax). The UNet's temporal
+# attention (N = 25 frames at batch b*h = 11200) otherwise shreds into
+# 11200 MXU-hostile (25,64)@(64,25) matmuls — 3.2 ms per level-0 attn
+# (XFORMER_PARTS_PROFILE.json). G*N should land near a lane multiple:
+# G=5 -> 125 (pads to 128). FLOP/softmax waste is xG, but on the MXU that
+# is ~free while the VPU softmax grows only ~2.5x effective.
+_SMALL_ATTN_GROUP = [int(_os.environ.get("GVD_SMALL_ATTN_GROUP", "5"))]
+_SMALL_ATTN_MAX_SEQ = 32
+_SMALL_ATTN_MIN_BATCH = 1024
+
+
+def set_small_attn_group(g: int) -> None:
+    _SMALL_ATTN_GROUP[0] = g
+
+
+def _grouped_small_attention(q, k, v, scale: float) -> jnp.ndarray:
+    """Self-attention over many tiny sequences as block-diagonal attention
+    over grouped sequences. q,k,v: (B, H, N, D) with N small; exact (the
+    mask is applied before softmax; padded tail rows attend to themselves
+    and are sliced off)."""
+    b, h, n, d = q.shape
+    g = max(1, _SMALL_ATTN_GROUP[0])
+    bh = b * h
+    qf = q.reshape(bh, n, d)
+    kf = k.reshape(bh, n, d)
+    vf = v.reshape(bh, n, d)
+    pad = (-bh) % g
+    if pad:
+        qf, kf, vf = (
+            jnp.concatenate([x, jnp.zeros((pad, n, d), x.dtype)], 0)
+            for x in (qf, kf, vf)
+        )
+    ng = (bh + pad) // g
+    qg = qf.reshape(ng, g * n, d)
+    kg = kf.reshape(ng, g * n, d)
+    vg = vf.reshape(ng, g * n, d)
+    sim = (
+        jnp.einsum("gid,gjd->gij", qg, kg, preferred_element_type=jnp.float32)
+        * scale
+    )
+    blk = jnp.arange(g * n) // n
+    same = blk[:, None] == blk[None, :]
+    sim = jnp.where(same, sim, jnp.finfo(sim.dtype).min)
+    attn = jax.nn.softmax(sim, axis=-1)
+    out = jnp.einsum("gij,gjd->gid", attn.astype(vg.dtype), vg)
+    out = out.reshape(bh + pad, n, d)[:bh]
+    return out.reshape(b, h, n, d)
+
+
 def attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     bias: Optional[jnp.ndarray] = None, mask: Optional[jnp.ndarray] = None,
@@ -207,18 +260,32 @@ def attention(
     """Softmax attention; q,k,v: (B, H, N, D). Softmax in f32.
 
     Long unmasked self-attention dispatches to the Pallas flash kernel on
-    TPU (see _flash_attention_padded); everything else — cross-attention
-    over short contexts, masked/biased attention, CPU runs — uses the plain
-    einsum path (reference lvdm/modules/attention.py:100-127 semantics)."""
+    TPU (see _flash_attention_padded); huge-batch tiny-sequence
+    self-attention (the UNet's temporal attention over the 25 frames) takes
+    the block-diagonal grouped form (see _grouped_small_attention);
+    everything else — cross-attention over short contexts, masked/biased
+    attention, CPU runs — uses the plain einsum path (reference
+    lvdm/modules/attention.py:100-127 semantics)."""
+    on_tpu = jax.default_backend() in ("tpu", "axon")  # axon = tunneled TPU
     if (
         _FUSED_ATTENTION[0]
         and bias is None
         and mask is None
         and q.shape[2] == k.shape[2]
         and q.shape[2] >= _FUSED_MIN_SEQ
-        and jax.default_backend() in ("tpu", "axon")  # axon = tunneled TPU
+        and on_tpu
     ):
         return _flash_attention_padded(q, k, v, scale)
+    if (
+        bias is None
+        and mask is None
+        and q.shape[2] == k.shape[2]
+        and q.shape[2] <= _SMALL_ATTN_MAX_SEQ
+        and q.shape[0] * q.shape[1] >= _SMALL_ATTN_MIN_BATCH
+        and _SMALL_ATTN_GROUP[0] > 1
+        and on_tpu
+    ):
+        return _grouped_small_attention(q, k, v, scale)
     sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * scale
     if bias is not None:
         sim = sim + bias

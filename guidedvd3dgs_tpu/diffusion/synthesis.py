@@ -15,7 +15,7 @@ the context is (B, 77+256, 1024) and the UNet repeats it per frame.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,40 @@ class SynthesisConfig:
     resampler_config: ResamplerConfig = field(default_factory=ResamplerConfig)
 
 
+def split_synthesis_rng(rng: jax.Array):
+    """The synthesis rng discipline, shared by the one-jit path
+    (image_guided_synthesis) and the engine's phase-split path so both
+    produce bit-identical streams: (rng', conditioning_key, sampler_key)."""
+    return jax.random.split(rng, 3)
+
+
+def sampler_params(params: DiffusionParams) -> DiffusionParams:
+    """The subset of weights live inside the sampling loop: UNet + the VAE
+    decoder side. Everything else (CLIP text/image, resampler, VAE encoder
+    — ~2.0 GB of the 4.8 GB bf16 param set) is dead between conditioning
+    and the final decode; the engine frees it from HBM around the 50-step
+    guided scan so the backward's working set fits a 16 GB v5e (the
+    reference holds the full set on a 32 GB V100,
+    lvdm/models/samplers/ddim_guidance.py:259-339)."""
+    vae_dec = {
+        k: v
+        for k, v in params.vae.items()
+        if k.startswith(("decoder.", "post_quant_conv"))
+    }
+    return DiffusionParams(
+        unet=params.unet, vae=vae_dec, resampler={}, clip_text={}, clip_image={}
+    )
+
+
+def conditioning_params(params: DiffusionParams) -> DiffusionParams:
+    """The complement of sampler_params (plus the full VAE — the encoder
+    side builds c_concat): what build_conditioning needs on device."""
+    return DiffusionParams(
+        unet={}, vae=params.vae, resampler=params.resampler,
+        clip_text=params.clip_text, clip_image=params.clip_image,
+    )
+
+
 def build_conditioning(
     params: DiffusionParams,
     mcfg: LatentDiffusionConfig,
@@ -68,15 +102,22 @@ def build_conditioning(
     rng: jax.Array,
     prompt_tokens: Optional[np.ndarray] = None,
     condition_index: int = 0,
+    text_pair: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ):
-    """(cond, uncond) Conditioning pairs (reference diffusion_utils.py:134-174)."""
-    t = video.shape[0]
-    if prompt_tokens is None:
-        prompt_tokens = tokenize([scfg.prompt])
-    uncond_tokens = tokenize([""])
+    """(cond, uncond) Conditioning pairs (reference diffusion_utils.py:134-174).
 
-    txt = clip_mod.text_encode(params.clip_text, scfg.text_config, jnp.asarray(prompt_tokens))
-    txt_uc = clip_mod.text_encode(params.clip_text, scfg.text_config, jnp.asarray(uncond_tokens))
+    ``text_pair``: precomputed (txt, txt_uc) embeddings. The prompt is fixed
+    per run, so the engine computes them once at setup and then drops the
+    0.66 GB CLIP text tower from device memory entirely."""
+    t = video.shape[0]
+    if text_pair is not None:
+        txt, txt_uc = text_pair
+    else:
+        if prompt_tokens is None:
+            prompt_tokens = tokenize([scfg.prompt])
+        uncond_tokens = tokenize([""])
+        txt = clip_mod.text_encode(params.clip_text, scfg.text_config, jnp.asarray(prompt_tokens))
+        txt_uc = clip_mod.text_encode(params.clip_text, scfg.text_config, jnp.asarray(uncond_tokens))
 
     frame0 = video[condition_index][None]  # (1, H, W, 3)
     img_tokens = clip_mod.image_encode(params.clip_image, scfg.vision_config, frame0)
@@ -124,6 +165,37 @@ def image_guided_synthesis(
     ``sched``/``ddim_params`` may be precomputed and passed in — required
     when this function is called under jit (the DDIM timestep table is
     host-side numpy, reference utils_diffusion.py make_ddim_timesteps)."""
+    rng, ck, sk = split_synthesis_rng(rng)
+    cond, uncond, uncond_img = build_conditioning(
+        params, mcfg, scfg, video, ck, prompt_tokens=prompt_tokens
+    )
+    return sample_from_conditioning(
+        params, mcfg, scfg, cond, uncond, uncond_img, rng, sk,
+        guidance_fn=guidance_fn, guided_cfg=guided_cfg,
+        scale_guidance_weight=scale_guidance_weight,
+        pred_x0_trace=pred_x0_trace, sched=sched, ddim_params=ddim_params,
+    )
+
+
+def sample_from_conditioning(
+    params: DiffusionParams,
+    mcfg: LatentDiffusionConfig,
+    scfg: SynthesisConfig,
+    cond: Conditioning,
+    uncond: Conditioning,
+    uncond_img: Conditioning,
+    rng: jax.Array,
+    sk: jax.Array,
+    guidance_fn: Optional[GuidanceFn] = None,
+    guided_cfg: GuidedSampleConfig = GuidedSampleConfig(),
+    scale_guidance_weight: float = 1.0,
+    pred_x0_trace: bool = False,
+    sched=None,
+    ddim_params=None,
+):
+    """The sampling + decode back half of image_guided_synthesis, taking
+    prebuilt conditioning. Needs only sampler_params(params) on device —
+    the engine's phase-split entry (rng/sk from split_synthesis_rng)."""
     if sched is None:
         sched = mcfg.schedule()
     pr = ddim_params
@@ -131,12 +203,7 @@ def image_guided_synthesis(
         pr = S.make_ddim_params(
             sched, scfg.ddim_steps, eta=scfg.ddim_eta, method=scfg.timestep_spacing
         )
-    rng, ck, sk = jax.random.split(rng, 3)
-    cond, uncond, uncond_img = build_conditioning(
-        params, mcfg, scfg, video, ck, prompt_tokens=prompt_tokens
-    )
-
-    t, h, w, _ = video.shape
+    t = cond.concat.shape[1]
     lh, lw = cond.concat.shape[2], cond.concat.shape[3]
     rng, nk = jax.random.split(rng)
     x_T = jax.random.normal(nk, (1, t, lh, lw, 4), jnp.float32)

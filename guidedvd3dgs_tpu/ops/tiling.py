@@ -194,17 +194,18 @@ def tile_rects(proc: ProcessedGaussians, width: int, height: int, n_cams: int = 
     return rect_min_x, rect_min_y, w, h, count, gx, gy
 
 
-def bin_gaussians(
+def binning_presort(
     proc: ProcessedGaussians,
     width: int,
     height: int,
     max_instances: int,
     n_cams: int = 1,
-) -> TileBinning:
-    """n_cams > 1: proc is the per-camera preprocess outputs concatenated
-    along N with banded means2d (see tile_rects); the returned binning's
-    grid is (grid_x, n_cams * grid_y_cam) and the blend kernels render all
-    cameras in one virtual framebuffer of vertically stacked bands."""
+):
+    """Everything bin_gaussians does BEFORE the instance sort: expansion,
+    histogram, alignment-pad key synthesis. Returns a dict of the sort
+    operands + metadata; factored out so tools/e1_sort_gather_study.py can
+    measure alternative sort/permute formulations on the REAL operand
+    distribution (PERF_NOTES experiment E1)."""
     n = proc.means2d.shape[0]
     rmx, rmy, rw, rh, count, gx, gy = tile_rects(proc, width, height, n_cams)
     num_tiles = gx * gy
@@ -296,6 +297,32 @@ def bin_gaussians(
     gs_op = jnp.concatenate([gs, jnp.full((pad_cap,), n, jnp.int32)])
     m_pad = m + pad_cap
     dstep = drange / dscale
+    return dict(
+        cat=cat, key_op=key_op, gs_op=gs_op, m_pad=m_pad, n=n, m=m,
+        total=total, offsets=offsets, cum=cum, tile_start=tile_start,
+        tile_count=tile_count, gx=gx, gy=gy,
+        dmin=dmin, dstep=dstep, depth_bits=depth_bits,
+    )
+
+
+def bin_gaussians(
+    proc: ProcessedGaussians,
+    width: int,
+    height: int,
+    max_instances: int,
+    n_cams: int = 1,
+) -> TileBinning:
+    """n_cams > 1: proc is the per-camera preprocess outputs concatenated
+    along N with banded means2d (see tile_rects); the returned binning's
+    grid is (grid_x, n_cams * grid_y_cam) and the blend kernels render all
+    cameras in one virtual framebuffer of vertically stacked bands."""
+    ps = binning_presort(proc, width, height, max_instances, n_cams)
+    cat, key_op, gs_op = ps["cat"], ps["key_op"], ps["gs_op"]
+    m_pad, n, m, total = ps["m_pad"], ps["n"], ps["m"], ps["total"]
+    offsets, cum = ps["offsets"], ps["cum"]
+    tile_start, tile_count = ps["tile_start"], ps["tile_count"]
+    gx, gy = ps["gx"], ps["gy"]
+    dmin, dstep, depth_bits = ps["dmin"], ps["dstep"], ps["depth_bits"]
     if _PACK_FIELDS[0]:
         # opacity + RGB ride two f16-packed int32 payloads (9 -> 7 payload
         # operands): f16 keeps ~2^-11 relative — invisible against the 8-bit

@@ -301,7 +301,8 @@ class ViewCrafterEngine:
     def __init__(self, params, mcfg, scfg, guided_cfg=None, video_length=25,
                  height=320, width=448, w_recon=0.5, ssim_guidance=False,
                  lpips_fn: Optional[Callable] = None, device=None,
-                 recon_loss: str = "l2", mesh=None):
+                 recon_loss: str = "l2", mesh=None,
+                 encoder_residency: str = "auto"):
         from guidedvd3dgs_tpu.diffusion.samplers.ddim_guidance import GuidedSampleConfig
 
         # reference guidance_gpu_id analog (arguments/__init__.py:129): pin
@@ -312,15 +313,56 @@ class ViewCrafterEngine:
         # (parallel/model_parallel.py shard_params — XLA inserts the ICI
         # collectives), the SURVEY §2.5 design target the reference's
         # two-GPU split stands in for.
+        #
+        # encoder_residency — where the conditioning-only weights (CLIP
+        # image tower + resampler + VAE encoder, ~1.4 GB bf16 at full size)
+        # live between diffusion events:
+        #   "resident": always on device (the r4 behavior; required under a
+        #       mesh where weights are sharded).
+        #   "offload": kept on host, uploaded at event start for
+        #       build_conditioning, freed before the 50-step sampling scan.
+        #       The CLIP text tower (0.66 GB) is dropped from device memory
+        #       permanently — the prompt is fixed, so its two embeddings are
+        #       computed once here. This is what lets the serial_ckpt_half
+        #       CFG pair mode (no cond-branch recompute in the guided
+        #       backward) fit a 16 GB v5e (GUIDED_STEP_PROFILE.json).
+        #   "auto": "resident" under a mesh, else "offload".
         self.device = device
         self.mesh = mesh
+        if encoder_residency == "auto":
+            encoder_residency = "resident" if mesh is not None else "offload"
+        if encoder_residency not in ("resident", "offload"):
+            raise ValueError(f"unknown encoder_residency {encoder_residency!r}")
+        if mesh is not None and encoder_residency == "offload":
+            raise ValueError("encoder_residency='offload' is a single-device "
+                             "discipline; sharded weights stay resident")
+        self.encoder_residency = encoder_residency
         if mesh is not None:
             from guidedvd3dgs_tpu.parallel.model_parallel import shard_params
 
             params = shard_params(params, mesh)
-        elif device is not None:
-            params = jax.device_put(params, device)
-        self.params = params
+            self.params = params
+        elif encoder_residency == "offload":
+            from guidedvd3dgs_tpu.diffusion.synthesis import (
+                conditioning_params, sampler_params,
+            )
+
+            # host copies of the conditioning-only weights (uploaded per
+            # event); only UNet + VAE decoder stay resident
+            self._enc_host = jax.tree.map(
+                np.asarray, conditioning_params(params)
+            )
+            slim = sampler_params(params)
+            self.params = (
+                jax.device_put(slim, device)
+                if device is not None
+                else jax.tree.map(jnp.asarray, slim)
+            )
+            self._text_pair = self._compute_text_pair(params, scfg)
+        else:
+            if device is not None:
+                params = jax.device_put(params, device)
+            self.params = params
         self.mcfg = mcfg
         self.scfg = scfg
         self.guided_cfg = guided_cfg or GuidedSampleConfig()
@@ -351,6 +393,102 @@ class ViewCrafterEngine:
         # executables recompiled at EVERY event because the buffer values
         # change (the reference has no such cliff: torch is eager).
         self._synth_cache: dict = {}
+
+    def _compute_text_pair(self, params, scfg):
+        """Encode the fixed prompt + the empty uncond prompt ONCE, then drop
+        the CLIP text tower from device memory (reference encodes per event,
+        diffusion_utils.py:140 — but its prompt never changes either)."""
+        from guidedvd3dgs_tpu.diffusion import clip as clip_mod
+        from guidedvd3dgs_tpu.diffusion.tokenizer import tokenize
+
+        ct = (
+            jax.device_put(params.clip_text, self.device)
+            if self.device is not None
+            else jax.tree.map(jnp.asarray, params.clip_text)
+        )
+        enc = jax.jit(
+            lambda p, toks: clip_mod.text_encode(p, scfg.text_config, toks)
+        )
+        txt = enc(ct, jnp.asarray(tokenize([scfg.prompt])))
+        txt_uc = enc(ct, jnp.asarray(tokenize([""])))
+        # force (host readback — the only reliable barrier through the
+        # tunneled TPU) before freeing the tower's device buffers
+        np.asarray(txt), np.asarray(txt_uc)
+        for leaf in jax.tree.leaves(ct):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
+        return txt, txt_uc
+
+    def _force_tiny(self, tree):
+        """Read one element of every leaf back to host — the completion
+        barrier that is reliable through the tunneled TPU (PERF_NOTES:
+        block_until_ready is not)."""
+        for leaf in jax.tree.leaves(tree):
+            np.asarray(leaf.ravel()[0:1])
+
+    def _generate_offload(self, video, rng, sw, buffers, no_guidance, want_trace):
+        """Phase-split generation: upload encoder weights -> conditioning ->
+        FREE the encoder weights -> sampling scan with only UNet + VAE
+        decoder resident. Bit-identical to the one-jit path (the rng
+        discipline is shared via split_synthesis_rng)."""
+        from guidedvd3dgs_tpu.diffusion import schedules as S
+        from guidedvd3dgs_tpu.diffusion.synthesis import (
+            build_conditioning, sample_from_conditioning, split_synthesis_rng,
+        )
+        from guidedvd3dgs_tpu.guidance.loss_guidance import make_guidance_fn
+
+        rng, ck, sk = split_synthesis_rng(rng)
+
+        cond_jit = self._synth_cache.get("cond")
+        if cond_jit is None:
+            def bc(p, v, k, txt, txt_uc):
+                return build_conditioning(
+                    p, self.mcfg, self.scfg, v, k, text_pair=(txt, txt_uc)
+                )
+
+            cond_jit = jax.jit(bc)
+            self._synth_cache["cond"] = cond_jit
+        enc = (
+            jax.device_put(self._enc_host, self.device)
+            if self.device is not None
+            else jax.tree.map(jnp.asarray, self._enc_host)
+        )
+        trip = cond_jit(enc, video, ck, *self._text_pair)
+        self._force_tiny(trip)
+        for leaf in jax.tree.leaves(enc):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
+        cond, uncond, uncond_img = trip
+
+        key = ("sample", no_guidance, want_trace)
+        sample_jit = self._synth_cache.get(key)
+        if sample_jit is None:
+            sched = self.mcfg.schedule()
+            pr = S.make_ddim_params(
+                sched, self.scfg.ddim_steps, eta=self.scfg.ddim_eta,
+                method=self.scfg.timestep_spacing,
+            )
+            guided = not no_guidance
+
+            def sample(p, c, u, ui, r, k, w, bufs):
+                gf = None
+                if guided:
+                    gf = make_guidance_fn(
+                        bufs, w_recon=self.w_recon,
+                        ssim_guidance=self.ssim_guidance,
+                        lpips_fn=self.lpips_fn,
+                        recon_loss=getattr(self, "recon_loss", "l2"),
+                    )
+                return sample_from_conditioning(
+                    p, self.mcfg, self.scfg, c, u, ui, r, k,
+                    guidance_fn=gf, guided_cfg=self.guided_cfg,
+                    scale_guidance_weight=w, pred_x0_trace=want_trace,
+                    sched=sched, ddim_params=pr,
+                )
+
+            sample_jit = jax.jit(sample)
+            self._synth_cache[key] = sample_jit
+        return sample_jit(self.params, cond, uncond, uncond_img, rng, sk, sw, buffers)
 
     def _synth_jit(self, guided: bool, want_trace: bool):
         key = (guided, want_trace)
@@ -438,12 +576,18 @@ class ViewCrafterEngine:
         # trace=None)
         guided = not no_guidance and not self.scfg.multiple_cond_cfg
         want_trace = bool(self.save_pred_x0_dir) and guided
-        synth = self._synth_jit(not no_guidance, want_trace)
-        frames = synth(
-            self.params, video, rng,
-            jnp.asarray(scale_guidance_weight, jnp.float32),
-            buffers if not no_guidance else None,
-        )
+        sw = jnp.asarray(scale_guidance_weight, jnp.float32)
+        if self.encoder_residency == "offload":
+            frames = self._generate_offload(
+                video, rng, sw, buffers if not no_guidance else None,
+                no_guidance, want_trace,
+            )
+        else:
+            synth = self._synth_jit(not no_guidance, want_trace)
+            frames = synth(
+                self.params, video, rng, sw,
+                buffers if not no_guidance else None,
+            )
         if want_trace:
             frames, trace = frames
             if trace is not None:

@@ -73,3 +73,30 @@ def test_flash_matches_einsum_on_tpu_hardware():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=3e-2, rtol=3e-2,
     )
+
+
+@pytest.mark.parametrize("bh,n,g", [(256, 25, 5), (250, 25, 4), (256, 16, 8),
+                                    (257, 25, 5)])
+def test_grouped_small_attention_matches_einsum(bh, n, g):
+    """Block-diagonal grouped attention (the temporal-attention MXU form)
+    is exact vs the einsum reference, including non-divisible batch pad."""
+    q, k, v = _make_qkv(b=bh, h=1, n=n, d=8, seed=3)
+    old = nnops._SMALL_ATTN_GROUP[0]
+    try:
+        nnops.set_small_attn_group(g)
+        out = nnops._grouped_small_attention(q, k, v, 0.125)
+    finally:
+        nnops.set_small_attn_group(old)
+    ref = _einsum_attn(q, k, v, 0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)
+
+
+def test_grouped_small_attention_bf16():
+    q, k, v = _make_qkv(b=300, h=2, n=25, d=16, dtype=jnp.bfloat16, seed=5)
+    out = nnops._grouped_small_attention(q, k, v, 0.25)
+    ref = _einsum_attn(q, k, v, 0.25)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )

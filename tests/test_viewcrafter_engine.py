@@ -83,3 +83,40 @@ def test_engine_event_end_to_end(tmp_path):
     # one pred_x0 video per DDIM step
     steps = [f for f in os.listdir(ev) if f.startswith("pred_x0_step")]
     assert sorted(steps) == ["pred_x0_step000.mp4", "pred_x0_step001.mp4"]
+
+
+def test_offload_matches_resident_residency():
+    """The phase-split offload path (conditioning jit -> free encoder
+    weights -> sampling jit with slim params) must reproduce the one-jit
+    resident path: same rng discipline (split_synthesis_rng), same math,
+    only the executable boundaries differ."""
+    mcfg_scfg_params = _tiny_engine()
+    # build two engines over the SAME weights
+    eng_off = mcfg_scfg_params
+    assert eng_off.encoder_residency == "offload"
+    import jax.numpy as jnp
+
+    # _enc_host has empty unet; reconstruct a full set for the resident twin
+    params_full = jax.tree.map(
+        jnp.asarray, eng_off._enc_host._replace(unet=eng_off.params.unet)
+    )
+    eng_res = ViewCrafterEngine(
+        params_full, eng_off.mcfg, eng_off.scfg, video_length=T,
+        height=32, width=32, encoder_residency="resident",
+    )
+
+    rng = np.random.default_rng(7)
+    pc = jnp.asarray(rng.uniform(size=(T, 32, 32, 3)).astype(np.float32))
+    gi = jnp.asarray(rng.uniform(size=(T, 3, 32, 32)).astype(np.float32))
+    gm = jnp.ones((T, 1, 32, 32), jnp.float32)
+    gd = jnp.ones((T, 1, 32, 32), jnp.float32)
+
+    out_off = np.asarray(eng_off.generate(pc, gi, gm, gd, jax.random.key(3)))
+    out_res = np.asarray(eng_res.generate(pc, gi, gm, gd, jax.random.key(3)))
+    np.testing.assert_allclose(out_off, out_res, atol=2e-5, rtol=2e-5)
+
+    # and the no-guidance (plain DDIM) path through offload still runs
+    out_ng = np.asarray(
+        eng_off.generate(pc, gi, gm, gd, jax.random.key(3), no_guidance=True)
+    )
+    assert np.isfinite(out_ng).all()

@@ -63,6 +63,12 @@ def main():
                     default="serial_ckpt:1,serial:1,batched:1,serial:5,serial_ckpt:5")
     ap.add_argument("--decompose", action="store_true",
                     help="also time pair-fwd / pair-vjp / decode-grads pieces")
+    ap.add_argument("--free-encoders", action="store_true",
+                    help="after building conditioning, FREE the CLIP/"
+                         "resampler/VAE-encoder weights from HBM and run the "
+                         "step with sampler_params only (the engine's "
+                         "encoder_residency='offload' discipline) — raises "
+                         "the realistic exec budget by ~2 GB")
     args = ap.parse_args()
 
     from guidedvd3dgs_tpu.diffusion.init import init_diffusion_params
@@ -95,8 +101,26 @@ def main():
     video = jax.random.uniform(jax.random.key(2), (T, H, W, 3)) * 2.0 - 1.0
     t0 = time.time()
     cond, uncond, _ = build_conditioning(params, mcfg, scfg, video, jax.random.key(1))
-    force(cond.context)
+    for leaf in jax.tree.leaves((cond, uncond)):
+        np.asarray(leaf.ravel()[0:1])
     print(f"conditioning built in {time.time()-t0:.0f}s", flush=True)
+
+    if args.free_encoders:
+        # the engine's encoder_residency='offload' discipline: the step only
+        # ever sees UNet + VAE-decoder weights; CLIP/resampler/VAE-encoder
+        # buffers are deleted from HBM before any step executable runs
+        from guidedvd3dgs_tpu.diffusion.synthesis import sampler_params
+
+        slim = sampler_params(params)
+        slim_ids = {id(l) for l in jax.tree.leaves(slim)}
+        freed = 0
+        for leaf in jax.tree.leaves(params):
+            if id(leaf) not in slim_ids and hasattr(leaf, "delete"):
+                freed += leaf.size * leaf.dtype.itemsize
+                leaf.delete()
+        params = slim
+        out["freed_encoder_gb"] = round(freed / 2**30, 2)
+        print(f"freed {out['freed_encoder_gb']} GB of encoder weights", flush=True)
     x = jax.random.normal(jax.random.key(3), (1, T, H // 8, W // 8, 4))
 
     gi = jax.random.uniform(jax.random.key(4), (T, 3, H, W))

@@ -110,12 +110,26 @@ def main():
     scale = D ** -0.5
     out = {}
 
-    for name, fn in (
+    from guidedvd3dgs_tpu.diffusion import nnops
+
+    def grouped(g):
+        def f(q, k, v, scale):
+            old = nnops._SMALL_ATTN_GROUP[0]
+            nnops.set_small_attn_group(g)  # trace-time only: g is static
+            try:
+                return nnops._grouped_small_attention(q, k, v, scale)
+            finally:
+                nnops.set_small_attn_group(old)
+
+        return f
+
+    cands = [
         ("einsum", einsum_attn),
         ("bcast_vpu", bcast_attn),
         ("bcast_qk_mm_pv", bcast_qk_mm_pv),
         ("merged_batch", merged_batch),
-    ):
+    ] + [(f"grouped_g{g}", grouped(g)) for g in (4, 5, 8, 10)]
+    for name, fn in cands:
         timed(name, scan_wrap(lambda q, k, v, c, f=fn: f(q + c, k, v, scale)), (q, k, v), out)
 
     # parity check of the winner formulation vs einsum (on-chip numerics)
@@ -135,6 +149,14 @@ def main():
 
     timed("einsum_vjp", scan_wrap(vjp_of(einsum_attn)), (q, k, v), out)
     timed("bcast_vpu_vjp", scan_wrap(vjp_of(bcast_attn)), (q, k, v), out)
+    for g in (4, 5, 8):
+        timed(f"grouped_g{g}_vjp", scan_wrap(vjp_of(grouped(g))), (q, k, v), out)
+    # parity of the grouped form vs einsum at g=5 (production default)
+    r_g = jax.jit(lambda q, k, v: grouped(5)(q, k, v, scale))(q, k, v)
+    out["grouped5_vs_einsum_maxabs"] = float(
+        jnp.abs(r_e.astype(jnp.float32) - r_g.astype(jnp.float32)).max()
+    )
+    print("grouped5 vs einsum max abs err:", out["grouped5_vs_einsum_maxabs"], flush=True)
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -28,7 +28,8 @@ REFERENCE_HOURS = 3.5  # reference README.md: 3-4 h per scene on 2x V100
 
 
 def project(summary: dict, smoke: dict | None, events: int,
-            ddim_steps: int, iterations: int) -> dict:
+            ddim_steps: int, iterations: int, tp2: bool = False,
+            pipeline: bool = False) -> dict:
     chunk_rate = summary["iterations"] / max(summary["chunk_s"], 1e-9)
     train_s = iterations / chunk_rate
 
@@ -50,13 +51,38 @@ def project(summary: dict, smoke: dict | None, events: int,
         gen_per_event = ph.get("generate", 0.0) / n_run
         gen_source = f"measured {summary.get('engine', '?')} generate phase"
 
+    notes = []
+    if tp2:
+        # --tp2: the 2-chip config the dryrun's sharded guided-step leg
+        # validates (MULTICHIP_r05: TP=2 sharded==unsharded at the
+        # 320-channel layout). The guided step's measured anatomy
+        # (GUIDED_STEP_PROFILE.json) is pair-fwd + decode-grads + a
+        # recompute-bound backward — all dominated by UNet/VAE matmuls and
+        # HBM traffic that TP=2 halves per chip; ICI cost at 40x56 latents
+        # is small. Conservative model: compute scales 1/2, a 25% ICI/
+        # partition-overhead tax on the diffusion event only.
+        gen_per_event = gen_per_event * 0.5 * 1.25
+        gen_source += " + tp2 model (0.5x compute, +25% partition tax)"
+        notes.append("tp2: projection, not a 2-chip measurement — single "
+                     "real chip available in this environment")
+    event_s = events * (overhead_per_event + gen_per_event)
+    if pipeline:
+        # engine on disjoint chips, generation overlapped with the next
+        # training chunk (PIPELINE_OVERLAP_MESH.json regime): the trainer
+        # hides min(chunk_period, generate) per event
+        chunk_period_s = 260.0 / chunk_rate
+        hidden = events * min(chunk_period_s, gen_per_event)
+        event_s -= hidden
+        notes.append(f"pipeline: {round(hidden, 1)} s hidden under training "
+                     "chunks (engine on disjoint chips)")
+
     total_s = (
         train_s
-        + events * (overhead_per_event + gen_per_event)
+        + event_s
         + summary.get("other_s", 0.0)  # compiles etc., paid once
     )
     hours = total_s / 3600.0
-    return {
+    out = {
         "metric": "projected_guided_hours_per_scene",
         "value": round(hours, 2),
         "unit": "h",
@@ -72,6 +98,9 @@ def project(summary: dict, smoke: dict | None, events: int,
             "reference_hours": REFERENCE_HOURS,
         },
     }
+    if notes:
+        out["detail"]["notes"] = notes
+    return out
 
 
 def main():
@@ -82,6 +111,13 @@ def main():
     p.add_argument("--events", type=int, default=37)
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--iterations", type=int, default=10_000)
+    p.add_argument("--tp2", action="store_true",
+                   help="project the 2-chip tensor-parallel engine config "
+                        "(validated functionally by the dryrun's sharded "
+                        "guided-step leg; cost model documented in project())")
+    p.add_argument("--pipeline", action="store_true",
+                   help="engine on disjoint chips with generation overlapped "
+                        "(PIPELINE_OVERLAP_MESH.json regime)")
     args = p.parse_args()
 
     with open(os.path.join(args.model_path, "timing_summary.json")) as f:
@@ -92,7 +128,7 @@ def main():
             smoke = json.load(f)
 
     out = project(summary, smoke, args.events, args.ddim_steps,
-                  args.iterations)
+                  args.iterations, tp2=args.tp2, pipeline=args.pipeline)
     print(json.dumps(out))
 
 
