@@ -77,20 +77,37 @@ def conv1d_k1(p: Params, name: str, x: jnp.ndarray) -> jnp.ndarray:
 def group_norm(
     p: Params, name: str, x: jnp.ndarray, num_groups: int = 32, eps: float = 1e-5
 ) -> jnp.ndarray:
-    """Channels-last GroupNorm computed in f32 (reference GroupNormSpecific,
-    lvdm/basics.py:76-87)."""
-    orig_dtype = x.dtype
-    x = x.astype(jnp.float32)
+    """Channels-last GroupNorm with f32 statistics (reference
+    GroupNormSpecific, lvdm/basics.py:76-87).
+
+    f32 inputs take the reference two-pass form verbatim. Half-precision
+    inputs (the UNet/VAE bf16 autocast path) take a traffic-minimal form:
+    the stats reductions read the bf16 tensor directly with f32
+    accumulation, and the normalize+affine folds into one fused
+    x*scale+shift writing bf16 — no f32 copy of the activation is ever
+    materialized, halving the HBM bytes of every GroupNorm round trip
+    (UNET_BLOCK_PROFILE.json measured ~0.66 ms per f32 round trip at the
+    level-0 extent; 4 of them per temporal res block)."""
     c = x.shape[-1]
     g = num_groups
     xg = x.reshape(x.shape[:-1] + (g, c // g))
     red_axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
-    mean = xg.mean(axis=red_axes, keepdims=True)
-    var = xg.var(axis=red_axes, keepdims=True)
-    xg = (xg - mean) * lax.rsqrt(var + eps)
-    x = xg.reshape(x.shape)
-    x = x * p[f"{name}.weight"].astype(jnp.float32) + p[f"{name}.bias"].astype(jnp.float32)
-    return x.astype(orig_dtype)
+    w = p[f"{name}.weight"].astype(jnp.float32)
+    b = p[f"{name}.bias"].astype(jnp.float32)
+    if x.dtype == jnp.float32:
+        mean = xg.mean(axis=red_axes, keepdims=True)
+        var = xg.var(axis=red_axes, keepdims=True)
+        xg = (xg - mean) * lax.rsqrt(var + eps)
+        return xg.reshape(x.shape) * w + b
+    mean = jnp.mean(xg, axis=red_axes, keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(
+        jnp.square(xg.astype(jnp.float32) - mean), axis=red_axes, keepdims=True
+    )
+    rstd = lax.rsqrt(var + eps)
+    scale = rstd * w.reshape(g, c // g)
+    shift = b.reshape(g, c // g) - mean * scale
+    y = xg.astype(jnp.float32) * scale + shift
+    return y.reshape(x.shape).astype(x.dtype)
 
 
 def layer_norm(p: Params, name: str, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -204,13 +221,20 @@ def _flash_attention_padded(q, k, v, scale: float) -> jnp.ndarray:
 # Group size for the block-diagonal small-sequence attention: G sequences
 # ride ONE (G*N, D) @ (D, G*N) MXU matmul with off-diagonal blocks masked
 # to -inf before the softmax (rows then only see their own sequence, so the
-# full-row softmax IS the per-sequence softmax). The UNet's temporal
-# attention (N = 25 frames at batch b*h = 11200) otherwise shreds into
-# 11200 MXU-hostile (25,64)@(64,25) matmuls — 3.2 ms per level-0 attn
-# (XFORMER_PARTS_PROFILE.json). G*N should land near a lane multiple:
-# G=5 -> 125 (pads to 128). FLOP/softmax waste is xG, but on the MXU that
-# is ~free while the VPU softmax grows only ~2.5x effective.
-_SMALL_ATTN_GROUP = [int(_os.environ.get("GVD_SMALL_ATTN_GROUP", "5"))]
+# full-row softmax IS the per-sequence softmax).
+#
+# MEASURED DEAD at the production shape and disabled by default
+# (TEMPORAL_ATTN_SWEEP.json, v5e): the isolated 25-token attention at
+# batch b*h = 11200 runs 0.65 ms fwd / 1.95 ms fwd+vjp on the plain einsum
+# path — XLA already batches the (25,64) matmuls acceptably — while every
+# grouped variant is SLOWER fwd (g4 1.17, g5 1.41, g8 1.28 ms; the -inf
+# mask + xG softmax waste costs more than the MXU utilization buys) and a
+# wash on vjp (g5 1.71). Under serial_ckpt remat (fwd + recomputed fwd +
+# bwd) einsum ~2.6 ms vs grouped ~3.1. The r4 "3.2 ms MXU-hostile attn"
+# premise (XFORMER_PARTS_PROFILE.json) was the whole in-context transformer
+# slice, not the attention op. Re-enable for experiments with
+# GVD_SMALL_ATTN_GROUP=<G>.
+_SMALL_ATTN_GROUP = [int(_os.environ.get("GVD_SMALL_ATTN_GROUP", "1"))]
 _SMALL_ATTN_MAX_SEQ = 32
 _SMALL_ATTN_MIN_BATCH = 1024
 

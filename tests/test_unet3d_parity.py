@@ -111,3 +111,22 @@ def test_unet_forward_parity(per_frame_ctx):
     )
     out = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_group_norm_half_precision_path_matches_f32():
+    """The traffic-minimal half-precision group_norm (stats in f32 over the
+    bf16 tensor, folded scale/shift) must match the reference two-pass f32
+    form within bf16 tolerance."""
+    from guidedvd3dgs_tpu.diffusion.nnops import group_norm
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(scale=3.0, size=(2, 5, 6, 7, 64)).astype(np.float32) + 1.5
+    p = {
+        "gn.weight": jnp.asarray(rng.normal(size=(64,)).astype(np.float32)),
+        "gn.bias": jnp.asarray(rng.normal(size=(64,)).astype(np.float32)),
+    }
+    ref = np.asarray(group_norm(p, "gn", jnp.asarray(x), num_groups=32))
+    got = np.asarray(
+        group_norm(p, "gn", jnp.asarray(x, jnp.bfloat16), num_groups=32)
+    ).astype(np.float32)
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)

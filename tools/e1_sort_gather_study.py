@@ -82,7 +82,9 @@ def main():
             lambda *a: rasterize_tiles(*a, cam, bg, sh_degree=3).num_instances
         )(*inputs)
     )
-    mi = -(-int(demand * 1.3) // CHUNK) * CHUNK
+    # round to QUANTUM (not CHUNK) — binning_presort's buffer granularity,
+    # same rounding rasterize_tiles applies (raster_tiles.py:1095-1097)
+    mi = -(-int(demand * 1.3) // tiling.QUANTUM) * tiling.QUANTUM
     print(f"demand {demand}, max_instances {mi}", flush=True)
 
     H, W = bench.H, bench.W
