@@ -223,18 +223,19 @@ def _flash_attention_padded(q, k, v, scale: float) -> jnp.ndarray:
 # to -inf before the softmax (rows then only see their own sequence, so the
 # full-row softmax IS the per-sequence softmax).
 #
-# MEASURED DEAD at the production shape and disabled by default
-# (TEMPORAL_ATTN_SWEEP.json, v5e): the isolated 25-token attention at
-# batch b*h = 11200 runs 0.65 ms fwd / 1.95 ms fwd+vjp on the plain einsum
-# path — XLA already batches the (25,64) matmuls acceptably — while every
-# grouped variant is SLOWER fwd (g4 1.17, g5 1.41, g8 1.28 ms; the -inf
-# mask + xG softmax waste costs more than the MXU utilization buys) and a
-# wash on vjp (g5 1.71). Under serial_ckpt remat (fwd + recomputed fwd +
-# bwd) einsum ~2.6 ms vs grouped ~3.1. The r4 "3.2 ms MXU-hostile attn"
-# premise (XFORMER_PARTS_PROFILE.json) was the whole in-context transformer
-# slice, not the attention op. Re-enable for experiments with
-# GVD_SMALL_ATTN_GROUP=<G>.
-_SMALL_ATTN_GROUP = [int(_os.environ.get("GVD_SMALL_ATTN_GROUP", "1"))]
+# Measured split verdict at the production shape (v5e):
+#   * isolated fwd (TEMPORAL_ATTN_SWEEP.json): plain einsum WINS — 0.65 ms
+#     vs grouped g4/g5/g8 1.17/1.41/1.28 (XLA already batches the (25,64)
+#     matmuls acceptably; the r4 "3.2 ms MXU-hostile attn" premise in
+#     XFORMER_PARTS_PROFILE.json was the in-context slice, not the op);
+#   * isolated fwd+vjp: grouped g5 WINS — 1.71 vs einsum 1.95 ms;
+#   * the PRODUCTION guided DDIM step (fwd CFG pair + vjp backward, the
+#     regime every one of the ~100 UNet applications per event runs in):
+#     grouped ON 2.88 s vs OFF 2.97 s (profile_guided_step --free-encoders,
+#     serial_ckpt). The step is what ships, so grouped stays ON (G=5:
+#     5*25=125 tokens pads to one 128-lane tile). Disable for fwd-only
+#     experiments with GVD_SMALL_ATTN_GROUP=1.
+_SMALL_ATTN_GROUP = [int(_os.environ.get("GVD_SMALL_ATTN_GROUP", "5"))]
 _SMALL_ATTN_MAX_SEQ = 32
 _SMALL_ATTN_MIN_BATCH = 1024
 
