@@ -66,6 +66,10 @@ QUANTUM = _math.lcm(expand.BLK, segsum.BBLK, CHUNK, 128)
 # 8-bit render targets. Parity tests against the exact dense oracle switch
 # this off via set_pack_fields.
 _PACK_FIELDS = [True]
+# E1 binning sort: payload-free (key, iota) sort + one packed row gather
+# instead of dragging 7 payload operands through every bitonic pass.
+# Measured 1.5 ms faster at 1M with bit-exact output (E1_SORT_STUDY.json).
+_E1_SORT = [_os.environ.get("GVD_E1_SORT", "1") != "0"]
 
 
 def set_pack_fields(flag: bool) -> None:
@@ -332,16 +336,41 @@ def bin_gaussians(
         # unpack/repack pass, and the blend kernels stream 8 rows not 16.
         p0 = _pack_f16(cat(F_OP), cat(F_R))
         p1 = _pack_f16(cat(F_G), cat(F_B))
-        ops = (key_op, gs_op) + tuple(cat(i) for i in range(F_OP)) + (p0, p1)
-        sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
-        inst_gauss = sorted_ops[1]
-        geom = [
-            jax.lax.bitcast_convert_type(sorted_ops[2 + i], jnp.int32)
-            for i in range(5)
-        ]
-        inst_data = jnp.stack(
-            geom + [sorted_ops[7], sorted_ops[8], sorted_ops[0]], axis=0
-        )  # (NP_FIELDS, m_pad) int32
+        if _E1_SORT[0]:
+            # Experiment E1 (E1_SORT_STUDY.json, v5e @1M real keys): carry
+            # NO payload through the bitonic sort — a 2-operand (key, iota)
+            # sort + ONE (m_pad, 8) row gather, the densify trick
+            # (models/gaussians.py _sort_carried). Bit-exact vs the
+            # 9-operand form (stable sort ties == iota order; on-chip
+            # parity 0 mismatches) and 1.5 ms faster net (20.7 vs 22.25).
+            # The reduce-side twin LOSES (16.2 vs 10.3) and keeps payload.
+            payload = jnp.stack(
+                [gs_op]
+                + [
+                    jax.lax.bitcast_convert_type(cat(i), jnp.int32)
+                    for i in range(F_OP)
+                ]
+                + [p0, p1],
+                axis=1,
+            )  # (m_pad, 8) int32
+            iota = jnp.arange(m_pad, dtype=jnp.int32)
+            sk, perm = jax.lax.sort((key_op, iota), num_keys=1, is_stable=True)
+            gt = jnp.take(payload, perm, axis=0).T  # (8, m_pad)
+            inst_gauss = gt[0]
+            inst_data = jnp.stack(
+                [gt[1], gt[2], gt[3], gt[4], gt[5], gt[6], gt[7], sk], axis=0
+            )  # (NP_FIELDS, m_pad) int32
+        else:
+            ops = (key_op, gs_op) + tuple(cat(i) for i in range(F_OP)) + (p0, p1)
+            sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+            inst_gauss = sorted_ops[1]
+            geom = [
+                jax.lax.bitcast_convert_type(sorted_ops[2 + i], jnp.int32)
+                for i in range(5)
+            ]
+            inst_data = jnp.stack(
+                geom + [sorted_ops[7], sorted_ops[8], sorted_ops[0]], axis=0
+            )  # (NP_FIELDS, m_pad) int32
         return TileBinning(
             inst_data=inst_data,
             inst_gauss=inst_gauss,
