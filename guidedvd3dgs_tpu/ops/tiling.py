@@ -68,8 +68,12 @@ QUANTUM = _math.lcm(expand.BLK, segsum.BBLK, CHUNK, 128)
 _PACK_FIELDS = [True]
 # E1 binning sort: payload-free (key, iota) sort + one packed row gather
 # instead of dragging 7 payload operands through every bitonic pass.
-# Measured 1.5 ms faster at 1M with bit-exact output (E1_SORT_STUDY.json).
-_E1_SORT = [_os.environ.get("GVD_E1_SORT", "1") != "0"]
+# MEASURED OFF: isolated it wins 1.5 ms at 1M with bit-exact output
+# (E1_SORT_STUDY.json), but in the full fwd+bwd graph it LOSES 5.3 ms
+# (bench 72.3 vs 67.1 — the (m_pad, 8) gather + transpose materializes a
+# layout the fused 9-operand sort hands the blend kernels for free). Kept
+# as a switchable path for future layouts: GVD_E1_SORT=1.
+_E1_SORT = [_os.environ.get("GVD_E1_SORT", "0") != "0"]
 
 
 def set_pack_fields(flag: bool) -> None:
