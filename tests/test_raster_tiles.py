@@ -246,3 +246,24 @@ def test_backward_matches_dense():
         gt, gd = np.asarray(gt), np.asarray(gd)
         denom = np.abs(gd).max() + 1e-8
         np.testing.assert_allclose(gt / denom, gd / denom, atol=2e-4, err_msg=name)
+
+
+def test_e1_sort_path_bit_exact():
+    """The switchable E1 binning sort (payload-free key+iota sort + one
+    packed row gather; default OFF — in-graph it loses 5.3 ms, see
+    tiling._E1_SORT) must stay BIT-EXACT vs the 9-operand packed sort:
+    stable-sort tie order == iota order (E1_SORT_STUDY.json on-chip parity)."""
+    cam, (xyz, scales, rots, opac, sh) = setup(n=300)
+    proc = preprocess_gaussians(xyz, scales, rots, opac, sh, cam)
+    tiling.set_pack_fields(True)
+    prev = tiling._E1_SORT[0]
+    try:
+        tiling._E1_SORT[0] = False
+        b0 = tiling.bin_gaussians(proc, cam.width, cam.height, max_instances=8192)
+        tiling._E1_SORT[0] = True
+        b1 = tiling.bin_gaussians(proc, cam.width, cam.height, max_instances=8192)
+    finally:
+        tiling._E1_SORT[0] = prev
+        tiling.set_pack_fields(False)
+    np.testing.assert_array_equal(np.asarray(b0.inst_data), np.asarray(b1.inst_data))
+    np.testing.assert_array_equal(np.asarray(b0.inst_gauss), np.asarray(b1.inst_gauss))
