@@ -302,7 +302,10 @@ def attention(
     ):
         return _flash_attention_padded(q, k, v, scale)
     if (
-        bias is None
+        _FUSED_ATTENTION[0]  # kill-switch covers BOTH optimized forms:
+        # set_fused_attention(False) must restore plain-einsum reference
+        # semantics everywhere, not just for the flash path
+        and bias is None
         and mask is None
         and q.shape[2] == k.shape[2]
         and q.shape[2] <= _SMALL_ATTN_MAX_SEQ

@@ -153,7 +153,15 @@ def _guided_step(
     # FLOPs-for-HBM trade.
     batched = scfg.pair_mode in ("batched", "batched_ckpt")
     if batched:
-        # cond ++ uncond as one batch-2 UNet application
+        # cond ++ uncond as one batch-2b UNet application. The vs[:b]/vs[b:]
+        # split below is only correct when the conditioning batch matches
+        # the latent batch — enforce it (a b>1 x over batch-1 conditioning
+        # would mispair rows silently).
+        if cond.context.shape[0] != b:
+            raise ValueError(
+                f"batched pair_mode requires conditioning batch == latent "
+                f"batch, got {cond.context.shape[0]} vs {b}"
+            )
         cu = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), cond, uncond)
     else:
         cu = jax.tree.map(lambda a, b: jnp.stack([a, b]), cond, uncond)

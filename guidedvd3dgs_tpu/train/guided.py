@@ -348,9 +348,12 @@ class ViewCrafterEngine:
             )
 
             # host copies of the conditioning-only weights (uploaded per
-            # event); only UNet + VAE decoder stay resident
+            # event); only UNet + VAE decoder stay resident. clip_text is
+            # dropped — build_conditioning always receives the precomputed
+            # text_pair, so carrying the 0.66 GB text tower here would
+            # re-upload dead weight every event.
             self._enc_host = jax.tree.map(
-                np.asarray, conditioning_params(params)
+                np.asarray, conditioning_params(params)._replace(clip_text={})
             )
             slim = sampler_params(params)
             self.params = (
@@ -401,6 +404,10 @@ class ViewCrafterEngine:
         from guidedvd3dgs_tpu.diffusion import clip as clip_mod
         from guidedvd3dgs_tpu.diffusion.tokenizer import tokenize
 
+        # jnp.asarray / device_put alias when a leaf already lives on the
+        # target device — deleting an aliased buffer would invalidate the
+        # CALLER's params. Only delete buffers this transfer created.
+        caller_ids = {id(l) for l in jax.tree.leaves(params.clip_text)}
         ct = (
             jax.device_put(params.clip_text, self.device)
             if self.device is not None
@@ -415,7 +422,7 @@ class ViewCrafterEngine:
         # tunneled TPU) before freeing the tower's device buffers
         np.asarray(txt), np.asarray(txt_uc)
         for leaf in jax.tree.leaves(ct):
-            if hasattr(leaf, "delete"):
+            if hasattr(leaf, "delete") and id(leaf) not in caller_ids:
                 leaf.delete()
         return txt, txt_uc
 
@@ -477,7 +484,7 @@ class ViewCrafterEngine:
                         bufs, w_recon=self.w_recon,
                         ssim_guidance=self.ssim_guidance,
                         lpips_fn=self.lpips_fn,
-                        recon_loss=getattr(self, "recon_loss", "l2"),
+                        recon_loss=self.recon_loss,
                     )
                 return sample_from_conditioning(
                     p, self.mcfg, self.scfg, c, u, ui, r, k,
@@ -512,7 +519,7 @@ class ViewCrafterEngine:
                 gf = make_guidance_fn(
                     buffers, w_recon=self.w_recon,
                     ssim_guidance=self.ssim_guidance, lpips_fn=self.lpips_fn,
-                    recon_loss=getattr(self, "recon_loss", "l2"),
+                    recon_loss=self.recon_loss,
                 )
             return image_guided_synthesis(
                 params, self.mcfg, self.scfg, video, rng,

@@ -66,10 +66,17 @@ def write_artifact(path: str, data: Dict[str, Any]) -> None:
     force = os.environ.get("GVD_ARTIFACT_FORCE", "") == "1"
     if os.path.exists(path) and not force:
         if _platform() == "cpu" and _existing_is_onchip(path):
-            raise ArtifactClobberError(
-                f"{path} holds an on-chip capture; refusing to overwrite it from a "
-                f"CPU run. Write elsewhere (GVD_PROF_OUT) or set GVD_ARTIFACT_FORCE=1."
+            # DON'T raise and lose the run's results (a long CPU capture
+            # would complete all its compute and then discard everything):
+            # divert the CPU capture next to the protected artifact.
+            divert = path + ".cpu.json"
+            print(
+                f"WARNING: {path} holds an on-chip capture; diverting this "
+                f"CPU capture to {divert} (set GVD_ARTIFACT_FORCE=1 to "
+                f"overwrite).",
+                flush=True,
             )
+            path = divert
     out = dict(data)
     out["_capture"] = capture_stamp()
     tmp = path + ".tmp"

@@ -100,7 +100,7 @@ def _build_trainer(engine, pipeline: bool, n_iters: int, interval: int):
     from guidedvd3dgs_tpu.models import gaussians as G
     from guidedvd3dgs_tpu.train.guided import FrozenRenderer, GuidedTrainer
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # repo root (where __graft_entry__ lives) is on sys.path from line 34
     import importlib
 
     ge = importlib.import_module("__graft_entry__")

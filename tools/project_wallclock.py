@@ -70,7 +70,10 @@ def project(summary: dict, smoke: dict | None, events: int,
         # engine on disjoint chips, generation overlapped with the next
         # training chunk (PIPELINE_OVERLAP_MESH.json regime): the trainer
         # hides min(chunk_period, generate) per event
-        chunk_period_s = 260.0 / chunk_rate
+        # mean training iterations between events, derived from THIS run's
+        # schedule (≈ the config's sample_pseudo_interval; don't hardcode it)
+        period_iters = iterations / max(events, 1)
+        chunk_period_s = period_iters / chunk_rate
         hidden = events * min(chunk_period_s, gen_per_event)
         event_s -= hidden
         notes.append(f"pipeline: {round(hidden, 1)} s hidden under training "
