@@ -100,3 +100,31 @@ def test_grouped_small_attention_bf16():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=2e-2, rtol=2e-2,
     )
+
+
+def test_fused_kill_switch_covers_grouped_form(monkeypatch):
+    """set_fused_attention(False) must restore plain-einsum semantics for
+    EVERY optimized dispatch, including the grouped small-sequence form
+    (r5 review): with the switch off, the grouped path must not be taken
+    even when its shape conditions hold on TPU."""
+    import jax.numpy as jnp
+    from guidedvd3dgs_tpu.diffusion import nnops
+
+    calls = []
+    real = nnops._grouped_small_attention
+    monkeypatch.setattr(nnops, "_grouped_small_attention",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    monkeypatch.setattr(nnops.jax, "default_backend", lambda: "tpu")
+    old_group = nnops._SMALL_ATTN_GROUP[0]
+    nnops.set_small_attn_group(5)
+    q = jnp.zeros((256, 5, 8, 16))
+    try:
+        nnops.set_fused_attention(False)
+        nnops.attention(q, q, q, 0.25)
+        assert not calls, "grouped form taken despite kill-switch off"
+        nnops.set_fused_attention(True)
+        nnops.attention(q, q, q, 0.25)
+        assert calls, "grouped form not taken with switch on (shape gate changed?)"
+    finally:
+        nnops.set_fused_attention(True)
+        nnops.set_small_attn_group(old_group)

@@ -120,3 +120,24 @@ def test_offload_matches_resident_residency():
         eng_off.generate(pc, gi, gm, gd, jax.random.key(3), no_guidance=True)
     )
     assert np.isfinite(out_ng).all()
+
+
+def test_offload_engine_does_not_delete_caller_buffers():
+    """Regression (r5 review): _compute_text_pair must only delete device
+    buffers ITS transfer created — jnp.asarray aliases leaves that are
+    already device arrays, and deleting an aliased buffer invalidates the
+    caller's params. Build an engine from device-resident params, then
+    prove the caller's tree is still fully usable."""
+    from guidedvd3dgs_tpu.diffusion.init import init_diffusion_params
+    import jax.numpy as jnp
+
+    mcfg, scfg, params = None, None, None
+    eng = _tiny_engine()  # builds its own params; grab configs from it
+    mcfg, scfg = eng.mcfg, eng.scfg
+    params = init_diffusion_params(mcfg, scfg, jax.random.key(3))
+    dev_params = jax.tree.map(jnp.asarray, params)  # device-resident leaves
+    ViewCrafterEngine(dev_params, mcfg, scfg, video_length=T,
+                      height=32, width=32, encoder_residency="offload")
+    # every caller leaf must still be alive and readable
+    for leaf in jax.tree.leaves(dev_params):
+        np.asarray(leaf)  # raises RuntimeError if the buffer was deleted
