@@ -96,9 +96,12 @@ def test_offload_matches_resident_residency():
     assert eng_off.encoder_residency == "offload"
     import jax.numpy as jnp
 
-    # _enc_host has empty unet; reconstruct a full set for the resident twin
+    # _enc_host deliberately carries neither the UNet nor the text tower
+    # (clip_text is dropped — the text pair is precomputed once), so the
+    # resident twin rebuilds the FULL param set with _tiny_engine's seed
     params_full = jax.tree.map(
-        jnp.asarray, eng_off._enc_host._replace(unet=eng_off.params.unet)
+        jnp.asarray,
+        init_diffusion_params(eng_off.mcfg, eng_off.scfg, jax.random.key(0)),
     )
     eng_res = ViewCrafterEngine(
         params_full, eng_off.mcfg, eng_off.scfg, video_length=T,
