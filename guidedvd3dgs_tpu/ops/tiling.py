@@ -68,12 +68,14 @@ QUANTUM = _math.lcm(expand.BLK, segsum.BBLK, CHUNK, 128)
 _PACK_FIELDS = [True]
 # E1 binning sort: payload-free (key, iota) sort + one packed row gather
 # instead of dragging 7 payload operands through every bitonic pass.
-# MEASURED OFF: isolated it wins 1.5 ms at 1M with bit-exact output
-# (E1_SORT_STUDY.json), but in the full fwd+bwd graph it LOSES 5.3 ms
-# (bench 72.3 vs 67.1 — the (m_pad, 8) gather + transpose materializes a
-# layout the fused 9-operand sort hands the blend kernels for free). Kept
-# as a switchable path for future layouts: GVD_E1_SORT=1.
-_E1_SORT = [_os.environ.get("GVD_E1_SORT", "0") != "0"]
+# Bit-exact vs the 9-operand sort (stable ties == iota order; on-chip
+# parity 0 mismatches, E1_SORT_STUDY.json) and ON by default: controlled
+# interleaved A/B on the full fwd+bwd bench reads 67.5/67.6 (on) vs
+# 69.6/69.6 (off) — a consistent ~2.1 ms win, matching the isolated
+# study's +1.5 ms. (A single earlier on-reading of 72.3 ms did not
+# reproduce under interleaving — chip-state drift, see PERF_NOTES bench
+# variance addendum.) Disable with GVD_E1_SORT=0.
+_E1_SORT = [_os.environ.get("GVD_E1_SORT", "1") != "0"]
 
 
 def set_pack_fields(flag: bool) -> None:
